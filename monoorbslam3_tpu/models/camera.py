@@ -1,0 +1,222 @@
+"""Camera models: pinhole + radial-tangential, and Kannala-Brandt fisheye.
+
+TPU-native analog of the reference camera layer (modules/Sensor/Camera.h:53-78,
+Pinhole.cpp:14-93, Fisheye.cpp:14-173). Differences from the reference, by
+design:
+
+- cameras are immutable pytree value types (usable as jit arguments), not a
+  process-wide singleton;
+- every operation is batched over arbitrary leading axes — whole keypoint
+  sets are projected/undistorted in one fused op;
+- radtan undistortion is an iterative fixed-point inversion (the reference
+  calls cv::undistortPoints, which does the same internally);
+- the fisheye per-pixel uncertainty map is a vectorized Newton inversion
+  (the reference builds the same scale map serially at construction,
+  Fisheye.cpp:141-172).
+
+Semantics matched to the reference:
+- pinhole `project` maps camera-frame points with the *ideal* (undistorted)
+  model; keypoints are undistorted once per frame (Pinhole.cpp:59-83);
+- fisheye `project` applies the full KB4 distortion; keypoints stay
+  distorted and carry per-pixel uncertainty instead (Fisheye.cpp:110-117).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_Z_MIN = 1e-6  # guard for points at/behind the camera plane
+
+
+class Pinhole(NamedTuple):
+    """Pinhole + radtan(k1,k2,p1,p2,k3). Static intrinsics pytree."""
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    dist: jnp.ndarray  # [5] = k1, k2, p1, p2, k3
+    width: int
+    height: int
+    # valid undistorted-pixel bounds (reference: Pinhole.cpp:17-26)
+    min_x: jnp.ndarray = jnp.float32(0.0)
+    min_y: jnp.ndarray = jnp.float32(0.0)
+    max_x: jnp.ndarray = jnp.float32(0.0)
+    max_y: jnp.ndarray = jnp.float32(0.0)
+
+    @staticmethod
+    def create(fx, fy, cx, cy, dist=None, width=0, height=0) -> "Pinhole":
+        dist = jnp.zeros(5, jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32)
+        if dist.shape[0] < 5:
+            dist = jnp.concatenate([dist, jnp.zeros(5 - dist.shape[0], jnp.float32)])
+        cam = Pinhole(
+            jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy),
+            dist, int(width), int(height),
+        )
+        # Undistort the image corners to get the valid pixel bounds.
+        corners = jnp.array(
+            [[0.0, 0.0], [width - 1.0, 0.0], [0.0, height - 1.0], [width - 1.0, height - 1.0]],
+            jnp.float32,
+        )
+        und = cam.undistort_points(corners)
+        return cam._replace(
+            min_x=jnp.max(jnp.array([und[0, 0], und[2, 0]])),
+            max_x=jnp.min(jnp.array([und[1, 0], und[3, 0]])),
+            min_y=jnp.max(jnp.array([und[0, 1], und[1, 1]])),
+            max_y=jnp.min(jnp.array([und[2, 1], und[3, 1]])),
+        )
+
+    # --- ideal model (post-undistortion pixel domain) ---
+
+    def project(self, pc: jnp.ndarray) -> jnp.ndarray:
+        """Camera-frame points [..., 3] -> ideal pixels [..., 2]."""
+        z = jnp.maximum(pc[..., 2], _Z_MIN)
+        u = self.fx * pc[..., 0] / z + self.cx
+        v = self.fy * pc[..., 1] / z + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def back_project(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Ideal pixels [..., 2] -> unit-depth rays [..., 3]."""
+        x = (uv[..., 0] - self.cx) / self.fx
+        y = (uv[..., 1] - self.cy) / self.fy
+        return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+    def proj_jacobian(self, pc: jnp.ndarray) -> jnp.ndarray:
+        """d(project)/d(pc): [..., 2, 3] (reference: Pinhole.cpp:49-53)."""
+        z = jnp.maximum(pc[..., 2], _Z_MIN)
+        inv_z = 1.0 / z
+        inv_z2 = inv_z * inv_z
+        zero = jnp.zeros_like(inv_z)
+        row0 = jnp.stack([self.fx * inv_z, zero, -self.fx * pc[..., 0] * inv_z2], axis=-1)
+        row1 = jnp.stack([zero, self.fy * inv_z, -self.fy * pc[..., 1] * inv_z2], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
+
+    # --- distortion model (raw pixel domain) ---
+
+    def distort_normalized(self, xy: jnp.ndarray) -> jnp.ndarray:
+        """Apply radtan to normalized coords [..., 2]."""
+        k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return jnp.stack([xd, yd], axis=-1)
+
+    def undistort_points(self, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+        """Raw pixels [..., 2] -> ideal pixels [..., 2] by fixed-point inversion."""
+        x0 = (uv[..., 0] - self.cx) / self.fx
+        y0 = (uv[..., 1] - self.cy) / self.fy
+        xy_d = jnp.stack([x0, y0], axis=-1)
+
+        # fixed point: xy <- xy_d - (distort(xy) - xy)
+        def step(_, xy):
+            return xy_d - (self.distort_normalized(xy) - xy)
+
+        xy = jax.lax.fori_loop(0, iters, step, xy_d)
+        u = xy[..., 0] * self.fx + self.cx
+        v = xy[..., 1] * self.fy + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def uncertainty(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Per-keypoint measurement-scale multiplier (== 1, Pinhole.cpp:55-57)."""
+        return jnp.ones(uv.shape[:-1], uv.dtype)
+
+    def is_in_image(self, uv: jnp.ndarray) -> jnp.ndarray:
+        return (
+            (uv[..., 0] >= self.min_x)
+            & (uv[..., 0] < self.max_x)
+            & (uv[..., 1] >= self.min_y)
+            & (uv[..., 1] < self.max_y)
+        )
+
+
+class Fisheye(NamedTuple):
+    """Kannala-Brandt equidistant (KB4) model (reference: Fisheye.cpp)."""
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    dist: jnp.ndarray  # [4] = k1..k4 theta-polynomial coefficients
+    width: int
+    height: int
+
+    @staticmethod
+    def create(fx, fy, cx, cy, dist, width=0, height=0) -> "Fisheye":
+        return Fisheye(
+            jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy),
+            jnp.asarray(dist, jnp.float32), int(width), int(height),
+        )
+
+    def _theta_poly(self, theta: jnp.ndarray) -> jnp.ndarray:
+        k1, k2, k3, k4 = (self.dist[i] for i in range(4))
+        t2 = theta * theta
+        return theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+
+    def project(self, pc: jnp.ndarray) -> jnp.ndarray:
+        """Camera-frame points [..., 3] -> distorted pixels (Fisheye.cpp:35-66)."""
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        r = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan2(r, z)
+        d = self._theta_poly(theta)
+        safe_r = jnp.where(r < 1e-8, 1.0, r)
+        scale = jnp.where(r < 1e-8, 1.0, d / safe_r)
+        u = self.fx * x * scale + self.cx
+        v = self.fy * y * scale + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def proj_jacobian(self, pc: jnp.ndarray) -> jnp.ndarray:
+        """Full analytic KB4 Jacobian via jacfwd (matches Fisheye.cpp:80-108)."""
+        fn = lambda p: self.project(p)
+        flat = pc.reshape(-1, 3)
+        J = jax.vmap(jax.jacfwd(fn))(flat)
+        return J.reshape(*pc.shape[:-1], 2, 3)
+
+    def unproject_theta(self, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+        """Distorted pixels -> unit-depth rays via Newton on the theta poly
+        (reference runs the same 10-iteration Newton, Fisheye.cpp:141-172)."""
+        mx = (uv[..., 0] - self.cx) / self.fx
+        my = (uv[..., 1] - self.cy) / self.fy
+        d = jnp.sqrt(mx * mx + my * my)
+
+        def newton(_, theta):
+            k1, k2, k3, k4 = (self.dist[i] for i in range(4))
+            t2 = theta * theta
+            f = self._theta_poly(theta) - d
+            fp = 1.0 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + t2 * 9 * k4)))
+            return theta - f / jnp.maximum(fp, 1e-8)
+
+        theta = jax.lax.fori_loop(0, iters, newton, d)
+        scale = jnp.where(d < 1e-8, 1.0, jnp.tan(theta) / jnp.where(d < 1e-8, 1.0, d))
+        return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+
+    def back_project(self, uv: jnp.ndarray) -> jnp.ndarray:
+        return self.unproject_theta(uv)
+
+    def undistort_points(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Identity — fisheye keypoints stay distorted (Fisheye.cpp:114-117)."""
+        return uv
+
+    def uncertainty(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Per-pixel measurement-scale = d(pixel radius)/d(ideal radius) ratio
+        (the reference precomputes this Newton-based scale map at construction,
+        Fisheye.cpp:21-33, 110-112)."""
+        ray = self.unproject_theta(uv)
+        # ratio of ideal-pinhole displacement to distorted displacement
+        r_ideal = jnp.sqrt(ray[..., 0] ** 2 + ray[..., 1] ** 2)
+        mx = (uv[..., 0] - self.cx) / self.fx
+        my = (uv[..., 1] - self.cy) / self.fy
+        r_dist = jnp.sqrt(mx * mx + my * my)
+        return jnp.where(r_dist < 1e-6, 1.0, r_ideal / jnp.where(r_dist < 1e-6, 1.0, r_dist))
+
+    def is_in_image(self, uv: jnp.ndarray) -> jnp.ndarray:
+        return (
+            (uv[..., 0] >= 0.0)
+            & (uv[..., 0] < self.width)
+            & (uv[..., 1] >= 0.0)
+            & (uv[..., 1] < self.height)
+        )

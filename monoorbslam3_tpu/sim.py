@@ -1,0 +1,187 @@
+"""Deterministic synthetic visual-inertial world for tests and benchmarks.
+
+The reference ships no fixtures and tests only against real dataset mounts
+(SURVEY.md §4); this module is the deterministic stand-in: an analytic
+trajectory with exact IMU samples, a random landmark field, and projected
+feature tracks with binary descriptors — everything needed to drive the
+full pipeline end-to-end with known ground truth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .models.imu import GRAVITY_VALUE
+
+G_W = np.array([0.0, 0.0, -GRAVITY_VALUE])
+
+
+@dataclass
+class Trajectory:
+    """Analytic circle-with-bounce trajectory; yaw follows the tangent.
+
+    p(t) = [r cos(w t), r sin(w t), h sin(w2 t)], R_wb(t) = Rz(w t + pi/2)
+    so the body x-axis points along the direction of travel.
+    """
+
+    radius: float = 5.0
+    omega: float = 0.35
+    height_amp: float = 0.4
+    omega_z: float = 0.9
+
+    def pos(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [
+                self.radius * np.cos(self.omega * t),
+                self.radius * np.sin(self.omega * t),
+                self.height_amp * np.sin(self.omega_z * t),
+            ],
+            axis=-1,
+        )
+
+    def vel(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [
+                -self.radius * self.omega * np.sin(self.omega * t),
+                self.radius * self.omega * np.cos(self.omega * t),
+                self.height_amp * self.omega_z * np.cos(self.omega_z * t),
+            ],
+            axis=-1,
+        )
+
+    def acc(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [
+                -self.radius * self.omega**2 * np.cos(self.omega * t),
+                -self.radius * self.omega**2 * np.sin(self.omega * t),
+                -self.height_amp * self.omega_z**2 * np.sin(self.omega_z * t),
+            ],
+            axis=-1,
+        )
+
+    def yaw(self, t):
+        return self.omega * np.asarray(t, np.float64) + np.pi / 2.0
+
+    def R_wb(self, t):
+        y = self.yaw(t)
+        c, s = np.cos(y), np.sin(y)
+        zero, one = np.zeros_like(c), np.ones_like(c)
+        R = np.stack(
+            [
+                np.stack([c, -s, zero], axis=-1),
+                np.stack([s, c, zero], axis=-1),
+                np.stack([zero, zero, one], axis=-1),
+            ],
+            axis=-2,
+        )
+        return R
+
+    def omega_body(self, t):
+        """Body angular rate (yaw-only rotation → constant z rate)."""
+        t = np.asarray(t, np.float64)
+        out = np.zeros(t.shape + (3,))
+        out[..., 2] = self.omega
+        return out
+
+    def imu_samples(self, t0, t1, freq, bg=None, ba=None, noise_gyro=0.0,
+                    noise_acc=0.0, rng=None):
+        """Ideal IMU samples in [t0, t1): gyro/acc with optional bias + noise.
+
+        Returns (gyro [N,3], acc [N,3], dts [N]) in float32, left-rectangular
+        sampling (measurement at interval start), matching how dataset IMU
+        streams are consumed by the reference (Frame.cpp:73-88).
+        """
+        rng = rng or np.random.default_rng(0)
+        bg = np.zeros(3) if bg is None else np.asarray(bg)
+        ba = np.zeros(3) if ba is None else np.asarray(ba)
+        dt = 1.0 / freq
+        ts = np.arange(t0, t1 - 1e-9, dt)
+        gyro = self.omega_body(ts) + bg
+        a_w = self.acc(ts) - G_W  # specific force in world frame
+        R = self.R_wb(ts)
+        acc = np.einsum("nij,nj->ni", np.swapaxes(R, -1, -2), a_w) + ba
+        if noise_gyro > 0:
+            gyro = gyro + rng.normal(scale=noise_gyro * np.sqrt(freq), size=gyro.shape)
+        if noise_acc > 0:
+            acc = acc + rng.normal(scale=noise_acc * np.sqrt(freq), size=acc.shape)
+        dts = np.full(len(ts), dt)
+        return gyro.astype(np.float32), acc.astype(np.float32), dts.astype(np.float32)
+
+
+@dataclass
+class World:
+    """Landmark field + feature observation generator."""
+
+    traj: Trajectory = field(default_factory=Trajectory)
+    n_points: int = 2000
+    seed: int = 7
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        # Landmarks on a cylinder band outside the trajectory circle, so the
+        # outward/tangent-facing camera always sees a wall of texture.
+        r = rng.uniform(self.traj.radius + 3.0, self.traj.radius + 9.0, self.n_points)
+        th = rng.uniform(0, 2 * np.pi, self.n_points)
+        z = rng.uniform(-3.0, 4.0, self.n_points)
+        self.points = np.stack([r * np.cos(th), r * np.sin(th), z], axis=-1)
+        # 256-bit descriptor per landmark, packed into 8 uint32 words
+        self.desc = rng.integers(0, 2**32, size=(self.n_points, 8), dtype=np.uint32)
+        self._rng = rng
+
+    def camera_pose(self, t, R_bc, t_bc):
+        """World->camera (R_cw, t_cw) given body pose and body->cam extrinsics."""
+        R_wb = self.traj.R_wb(t)
+        p_wb = self.traj.pos(t)
+        R_wc = R_wb @ R_bc
+        t_wc = R_wb @ t_bc + p_wb
+        R_cw = R_wc.T
+        t_cw = -R_cw @ t_wc
+        return R_cw, t_cw
+
+    def observe(self, t, camera, R_bc, t_bc, noise_px=0.3, flip_bits=4,
+                max_kps=1024, min_depth=0.3, rng=None):
+        """Project landmarks into the camera at time t.
+
+        Returns dict with padded arrays: uv [max_kps,2], desc [max_kps,8]u32,
+        point_id [max_kps] (-1 padding), valid [max_kps] bool.
+        Descriptors are the landmark descriptor with `flip_bits` random bits
+        flipped (models ORB descriptor noise across views).
+        """
+        import jax.numpy as jnp
+
+        rng = rng or self._rng
+        R_cw, t_cw = self.camera_pose(t, R_bc, t_bc)
+        pc = self.points @ R_cw.T + t_cw
+        uv = np.asarray(camera.project(jnp.asarray(pc, jnp.float32)))
+        in_img = np.asarray(camera.is_in_image(jnp.asarray(uv)))
+        vis = (pc[:, 2] > min_depth) & in_img
+        ids = np.nonzero(vis)[0]
+        if len(ids) > max_kps:
+            ids = rng.choice(ids, max_kps, replace=False)
+            ids.sort()
+        k = len(ids)
+
+        out_uv = np.zeros((max_kps, 2), np.float32)
+        out_desc = np.zeros((max_kps, 8), np.uint32)
+        out_pid = np.full(max_kps, -1, np.int64)
+        out_valid = np.zeros(max_kps, bool)
+
+        out_uv[:k] = uv[ids] + rng.normal(scale=noise_px, size=(k, 2))
+        d = self.desc[ids].copy()
+        if flip_bits > 0:
+            for _ in range(flip_bits):
+                word = rng.integers(0, 8, size=k)
+                bit = rng.integers(0, 32, size=k).astype(np.uint32)
+                d[np.arange(k), word] ^= (np.uint32(1) << bit)
+        out_desc[:k] = d
+        out_pid[:k] = ids
+        out_valid[:k] = True
+        return {
+            "uv": out_uv, "desc": out_desc, "point_id": out_pid, "valid": out_valid,
+            "R_cw": R_cw.astype(np.float32), "t_cw": t_cw.astype(np.float32),
+        }

@@ -1,0 +1,126 @@
+"""Golden tests for IMU preintegration against an analytic trajectory.
+
+Deterministic analog of the reference's imu_test dead-reckoning check
+(test/Imu/imuTest.cpp:58-98), with exact analytic ground truth instead of a
+saved trajectory.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from monoorbslam3_tpu.models.imu import (
+    GRAVITY_VALUE, ImuBuffer, ImuCalib, preintegrate,
+)
+from monoorbslam3_tpu.sim import Trajectory
+
+G_W = np.array([0.0, 0.0, -GRAVITY_VALUE])
+
+CALIB = ImuCalib.create(
+    R_bc=np.eye(3), t_bc=np.zeros(3),
+    noise_gyro=1.7e-4, noise_acc=2e-3, walk_gyro=2e-5, walk_acc=3e-3,
+    freq=200.0,
+)
+
+
+def _expected_deltas(traj, t0, t1):
+    R0 = traj.R_wb(t0)
+    R1 = traj.R_wb(t1)
+    p0, p1 = traj.pos(t0), traj.pos(t1)
+    v0, v1 = traj.vel(t0), traj.vel(t1)
+    dt = t1 - t0
+    dR = R0.T @ R1
+    dV = R0.T @ (v1 - v0 - G_W * dt)
+    dP = R0.T @ (p1 - p0 - v0 * dt - 0.5 * G_W * dt * dt)
+    return dR, dV, dP
+
+
+def test_preintegration_matches_analytic():
+    traj = Trajectory()
+    t0, t1, freq = 2.0, 2.5, 200.0
+    gyro, acc, dts = traj.imu_samples(t0, t1, freq)
+    mask = np.ones(len(dts), np.float32)
+    pre = preintegrate(gyro, acc, dts, mask, jnp.zeros(3), jnp.zeros(3), CALIB)
+
+    dR, dV, dP = _expected_deltas(traj, t0, t0 + len(dts) / freq)
+    np.testing.assert_allclose(np.asarray(pre.dR), dR, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pre.dV), dV, atol=6e-3)
+    np.testing.assert_allclose(np.asarray(pre.dP), dP, atol=4e-3)
+    assert abs(float(pre.dt) - len(dts) / freq) < 1e-6
+
+
+def test_mask_padding_is_noop():
+    traj = Trajectory()
+    gyro, acc, dts = traj.imu_samples(0.0, 0.3, 200.0)
+    n = len(dts)
+    pad = 32
+    gyro_p = np.concatenate([gyro, np.full((pad, 3), 99.0, np.float32)])
+    acc_p = np.concatenate([acc, np.full((pad, 3), -55.0, np.float32)])
+    dts_p = np.concatenate([dts, np.full(pad, 0.5, np.float32)])
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+
+    a = preintegrate(gyro, acc, dts, np.ones(n, np.float32), jnp.zeros(3), jnp.zeros(3), CALIB)
+    b = preintegrate(gyro_p, acc_p, dts_p, mask, jnp.zeros(3), jnp.zeros(3), CALIB)
+    np.testing.assert_allclose(np.asarray(a.dR), np.asarray(b.dR), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.dP), np.asarray(b.dP), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-9)
+
+
+def test_bias_correction_first_order():
+    """Preintegrating at bias b0 then first-order-correcting to b1 should
+    approximate preintegrating at b1 (reference getters, Imu.cpp:182-204)."""
+    traj = Trajectory()
+    bg_true = np.array([0.004, -0.003, 0.002], np.float32)
+    ba_true = np.array([0.03, 0.01, -0.02], np.float32)
+    gyro, acc, dts = traj.imu_samples(1.0, 1.5, 200.0, bg=bg_true, ba=ba_true)
+    mask = np.ones(len(dts), np.float32)
+
+    pre0 = preintegrate(gyro, acc, dts, mask, jnp.zeros(3), jnp.zeros(3), CALIB)
+    pre1 = preintegrate(gyro, acc, dts, mask, jnp.asarray(bg_true), jnp.asarray(ba_true), CALIB)
+
+    dR_corr = pre0.delta_rotation(jnp.asarray(bg_true))
+    dV_corr = pre0.delta_velocity(jnp.asarray(bg_true), jnp.asarray(ba_true))
+    dP_corr = pre0.delta_position(jnp.asarray(bg_true), jnp.asarray(ba_true))
+
+    np.testing.assert_allclose(np.asarray(dR_corr), np.asarray(pre1.dR), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dV_corr), np.asarray(pre1.dV), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dP_corr), np.asarray(pre1.dP), atol=1e-3)
+
+
+def test_covariance_psd_and_growth():
+    traj = Trajectory()
+    gyro, acc, dts = traj.imu_samples(0.0, 1.0, 200.0)
+    mask = np.ones(len(dts), np.float32)
+    pre = preintegrate(gyro, acc, dts, mask, jnp.zeros(3), jnp.zeros(3), CALIB)
+    C = np.asarray(pre.C, np.float64)
+    C = (C + C.T) / 2
+    eig = np.linalg.eigvalsh(C)
+    assert eig.min() > -1e-10
+    # longer windows accumulate more uncertainty
+    pre_short = preintegrate(gyro[:50], acc[:50], dts[:50], mask[:50],
+                             jnp.zeros(3), jnp.zeros(3), CALIB)
+    assert np.trace(np.asarray(pre.C)[:9, :9]) > np.trace(np.asarray(pre_short.C)[:9, :9])
+
+
+def test_imu_buffer_merge_equivalence():
+    """Merging two windows == integrating the concatenated samples
+    (reference MergeNext, Imu.cpp:157-172)."""
+    traj = Trajectory()
+    g1, a1, d1 = traj.imu_samples(0.0, 0.4, 200.0)
+    g2, a2, d2 = traj.imu_samples(0.4, 0.8, 200.0)
+
+    buf1 = ImuBuffer()
+    for g, a, d in zip(g1, a1, d1):
+        buf1.add(g, a, d)
+    buf2 = ImuBuffer()
+    for g, a, d in zip(g2, a2, d2):
+        buf2.add(g, a, d)
+    buf1.extend(buf2)
+    merged = buf1.integrate(np.zeros(3), np.zeros(3), CALIB)
+
+    g_all = np.concatenate([g1, g2])
+    a_all = np.concatenate([a1, a2])
+    d_all = np.concatenate([d1, d2])
+    direct = preintegrate(g_all, a_all, d_all, np.ones(len(d_all), np.float32),
+                          jnp.zeros(3), jnp.zeros(3), CALIB)
+    np.testing.assert_allclose(np.asarray(merged.dR), np.asarray(direct.dR), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged.dP), np.asarray(direct.dP), atol=1e-5)
