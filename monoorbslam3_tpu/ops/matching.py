@@ -90,7 +90,8 @@ def masked_nn_match(
 
     ok = best <= max_dist
     if use_ratio:
-        ok &= best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
+        # strict <: a perfect duplicate (best == second) must fail the test
+        ok &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
     if mutual:
         col_best = jnp.argmin(d, axis=0)  # [M]
         ok &= col_best[best_idx] == jnp.arange(d.shape[0])
