@@ -1,0 +1,317 @@
+"""Levenberg-Marquardt solvers: generic dense LM + Schur-complement BA.
+
+TPU-native replacement for g2o (reference links g2o_core/g2o_types_sba,
+CMakeLists.txt:29; problems in modules/Backend/Optimize.cpp). Two engines:
+
+- `lm_solve`: generic manifold LM for small dense problems (pose-only
+  optimize, inertial init, gravity refinement). The residual closure maps a
+  flat tangent increment to (whitened residuals, weights); the Jacobian is
+  one `jax.jacfwd` at zero — exact manifold Jacobians by construction.
+
+- `schur_ba`: structured visual(-inertial) bundle adjustment. Landmarks are
+  eliminated with a batched 3x3-block Schur complement; the reduced camera
+  system (<= K x 15 dims) is solved densely — on TPU a few-hundred-dim
+  Cholesky/LU is microseconds, so the sparse block solvers g2o needs on CPU
+  (Optimize.h:17-20) are unnecessary. The Schur reduction is expressed as
+  dense [P, K] einsums (MXU-shaped) rather than per-point pair loops.
+
+Everything is fixed-shape and jit-compiled; variable problem sizes are
+handled by validity masks (SURVEY.md §7 hard-part (a)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import residuals as res
+from .residuals import KfState, PreintEdge
+
+CHI2_MONO = 5.991  # 2-DoF 95% gate (Optimize.cpp poseOptimize chi2)
+
+
+# ---------------------------------------------------------------------------
+# Generic dense LM
+# ---------------------------------------------------------------------------
+
+
+def lm_solve(residual_fn, dim: int, n_iters: int = 10,
+             lambda0: float = 1e-4, state=None):
+    """Manifold LM on a problem expressed around a base state.
+
+    residual_fn(dx [dim]) -> (r [R], w [R]): residuals and nonnegative
+    weights at the retracted state `base ⊕ dx`. The caller re-bases between
+    outer rounds. Returns (dx_total [dim], final_cost).
+
+    Note: linearization happens once per iteration at the current dx; both
+    accept and reject re-enter the loop, with lambda adapted.
+    """
+
+    def cost_at(dx):
+        r, w = residual_fn(dx)
+        return jnp.sum(w * r * r)
+
+    def body(carry, _):
+        dx, lam, cost = carry
+        J = jax.jacfwd(lambda d: residual_fn(d)[0])(dx)  # [R, dim]
+        r, w = residual_fn(dx)
+        Jw = J * w[:, None]
+        H = J.T @ Jw
+        g = Jw.T @ r
+        D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        step = -jnp.linalg.solve(H + lam * D, g)
+        dx_new = dx + step
+        new_cost = cost_at(dx_new)
+        improved = new_cost < cost
+        dx = jnp.where(improved, dx_new, dx)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(improved, new_cost, cost)
+        return (dx, lam, cost), None
+
+    dx0 = jnp.zeros(dim, jnp.float32)
+    init = (dx0, jnp.float32(lambda0), cost_at(dx0))
+    (dx, _, cost), _ = jax.lax.scan(body, init, None, length=n_iters)
+    return dx, cost
+
+
+# ---------------------------------------------------------------------------
+# Schur-complement bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem. K keyframes, P points, O observations,
+    E inertial edges. Build with backend.problems helpers."""
+
+    kf: KfState  # [K]
+    kf_dof: jnp.ndarray  # [K, 15] float 0/1 per-dim free mask
+    points: jnp.ndarray  # [P, 3]
+    pt_active: jnp.ndarray  # [P] bool (False = fixed or padding)
+    obs_kf: jnp.ndarray  # [O] int32
+    obs_pt: jnp.ndarray  # [O] int32
+    obs_uv: jnp.ndarray  # [O, 2]
+    obs_inv_sigma2: jnp.ndarray  # [O]
+    obs_valid: jnp.ndarray  # [O] bool
+    ie_i: jnp.ndarray  # [E] int32
+    ie_j: jnp.ndarray  # [E] int32
+    ie_edge: PreintEdge  # [E]
+    ie_valid: jnp.ndarray  # [E] bool
+    walk_inv_sigma: jnp.ndarray  # [E, 6]
+    walk_valid: jnp.ndarray  # [E] bool
+    prior_inv_sigma: jnp.ndarray  # [K, 15] diag prior weights (0 = no prior)
+    prior_ref: KfState  # [K] prior center
+
+
+def _gather_kf(kf: KfState, idx) -> KfState:
+    return jax.tree_util.tree_map(lambda a: a[idx], kf)
+
+
+def _vis_linearize(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
+    """Per-observation residual + Jacobians at the current state."""
+    s_o = _gather_kf(problem.kf, problem.obs_kf)  # [O]
+    p_o = problem.points[problem.obs_pt]
+
+    def r_fn(dxc, dxl, s, p, uv):
+        return res.reprojection_residual(
+            res.retract_kf(s, dxc), p + dxl, uv, camera, R_cb, t_cb
+        )
+
+    z15 = jnp.zeros(15, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+
+    def per_obs(s, p, uv):
+        r0 = r_fn(z15, z3, s, p, uv)
+        Jc, Jl = jax.jacfwd(r_fn, argnums=(0, 1))(z15, z3, s, p, uv)
+        return r0, Jc, Jl
+
+    r0, Jc, Jl = jax.vmap(per_obs)(s_o, p_o, problem.obs_uv)  # [O,2],[O,2,15],[O,2,3]
+
+    depth = res.point_depth(s_o, p_o, R_cb, t_cb)
+    base_valid = problem.obs_valid & (depth > 0.05)
+    chi2 = jnp.sum(r0 * r0, axis=-1) * problem.obs_inv_sigma2
+    w = (
+        base_valid.astype(jnp.float32)
+        * problem.obs_inv_sigma2
+        * res.huber_weight(chi2, huber_delta2)
+    )
+    cost = jnp.sum(
+        jnp.where(base_valid, res.huber_cost(chi2, huber_delta2), 0.0)
+    )
+    return r0, Jc, Jl, w, chi2, cost
+
+
+def _inertial_linearize(problem: BAProblem):
+    s1 = _gather_kf(problem.kf, problem.ie_i)
+    s2 = _gather_kf(problem.kf, problem.ie_j)
+
+    def r_fn(dx1, dx2, a, b, e):
+        return res.inertial_residual(res.retract_kf(a, dx1), res.retract_kf(b, dx2), e)
+
+    z = jnp.zeros(15, jnp.float32)
+
+    def per_edge(a, b, e):
+        r0 = r_fn(z, z, a, b, e)
+        J1, J2 = jax.jacfwd(r_fn, argnums=(0, 1))(z, z, a, b, e)
+        return r0, J1, J2
+
+    r0, J1, J2 = jax.vmap(per_edge)(s1, s2, problem.ie_edge)
+    w = problem.ie_valid.astype(jnp.float32)
+    cost = jnp.sum(w * jnp.sum(r0 * r0, axis=-1))
+    return r0, J1, J2, w, cost
+
+
+def _walk_linearize(problem: BAProblem):
+    s1 = _gather_kf(problem.kf, problem.ie_i)
+    s2 = _gather_kf(problem.kf, problem.ie_j)
+    r0 = res.bias_walk_residual(s1, s2, problem.walk_inv_sigma)  # [E, 6]
+    # J wrt dims 9:15 of each endpoint: d r / d bg2 = +inv_sigma etc.
+    E = r0.shape[0]
+    J1 = jnp.zeros((E, 6, 15), jnp.float32)
+    J2 = jnp.zeros((E, 6, 15), jnp.float32)
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    J1 = J1.at[:, :, 9:15].set(-problem.walk_inv_sigma[:, :, None] * eye6[None])
+    J2 = J2.at[:, :, 9:15].set(problem.walk_inv_sigma[:, :, None] * eye6[None])
+    w = problem.walk_valid.astype(jnp.float32)
+    cost = jnp.sum(w * jnp.sum(r0 * r0, axis=-1))
+    return r0, J1, J2, w, cost
+
+
+def _prior_linearize(problem: BAProblem):
+    """Diagonal priors on the euclidean dims (v, bg, ba) of each KF."""
+    x = jnp.concatenate([problem.kf.v, problem.kf.bg, problem.kf.ba], axis=-1)  # [K, 9]
+    x0 = jnp.concatenate(
+        [problem.prior_ref.v, problem.prior_ref.bg, problem.prior_ref.ba], axis=-1
+    )
+    inv_sigma = problem.prior_inv_sigma[:, 6:15]
+    r = (x - x0) * inv_sigma  # [K, 9] whitened
+    cost = jnp.sum(r * r)
+    return r, inv_sigma, cost
+
+
+def _total_cost(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
+    _, _, _, _, _, c_vis = _vis_linearize(problem, camera, R_cb, t_cb, huber_delta2)
+    _, _, _, _, c_ie = _inertial_linearize(problem)
+    _, _, _, _, c_walk = _walk_linearize(problem)
+    _, _, c_prior = _prior_linearize(problem)
+    return c_vis + c_ie + c_walk + c_prior
+
+
+def _retract_problem(problem: BAProblem, dx_c, dx_l) -> BAProblem:
+    kf = res.retract_kf(problem.kf, dx_c * problem.kf_dof)
+    pts = problem.points + dx_l * problem.pt_active[:, None]
+    return problem._replace(kf=kf, points=pts)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "huber_delta2"))
+def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
+             n_iters: int = 10, huber_delta2: float = CHI2_MONO,
+             lambda0: float = 1e-4):
+    """Visual(-inertial) BA with landmark Schur elimination.
+
+    Returns (kf [K] KfState, points [P, 3], info dict with final chi2 per
+    obs + costs).
+    """
+    K = problem.kf_dof.shape[0]
+    P = problem.points.shape[0]
+
+    def solve_once(pb: BAProblem, lam):
+        r_v, Jc, Jl, w_v, chi2_v, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
+        r_e, J1, J2, w_e, _ = _inertial_linearize(pb)
+        r_w, Jw1, Jw2, w_w, _ = _walk_linearize(pb)
+        r_p, pr_inv_sigma, _ = _prior_linearize(pb)
+
+        # ---- visual blocks ----
+        JcW = Jc * w_v[:, None, None]  # [O, 2, 15]
+        Hc_diag = jnp.einsum("oik,oil->okl", JcW, Jc)  # per-obs [15,15]
+        Hll_o = jnp.einsum("oik,oil->okl", Jl * w_v[:, None, None], Jl)  # [O,3,3]
+        W_o = jnp.einsum("oik,oil->okl", JcW, Jl)  # [O, 15, 3]
+        bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)  # [O, 15]
+        bl_o = -jnp.einsum("oik,oi->ok", Jl * w_v[:, None, None], r_v)  # [O, 3]
+
+        Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
+        Hcc = Hcc.at[pb.obs_kf, pb.obs_kf].add(Hc_diag)
+        b_c = jnp.zeros((K, 15), jnp.float32).at[pb.obs_kf].add(bc_o)
+        Hll = jnp.zeros((P, 3, 3), jnp.float32).at[pb.obs_pt].add(Hll_o)
+        b_l = jnp.zeros((P, 3), jnp.float32).at[pb.obs_pt].add(bl_o)
+
+        # dense [P, K] W for the MXU-shaped Schur reduction
+        W_pk = jnp.zeros((P, K, 15, 3), jnp.float32).at[pb.obs_pt, pb.obs_kf].add(W_o)
+
+        # ---- inertial + walk blocks ----
+        for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e), (r_w, Jw1, Jw2, w_w)):
+            JaW = Ja * ww[:, None, None]
+            JbW = Jb * ww[:, None, None]
+            Hcc = Hcc.at[pb.ie_i, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JaW, Ja))
+            Hcc = Hcc.at[pb.ie_i, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JaW, Jb))
+            Hcc = Hcc.at[pb.ie_j, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JbW, Ja))
+            Hcc = Hcc.at[pb.ie_j, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JbW, Jb))
+            b_c = b_c.at[pb.ie_i].add(-jnp.einsum("eik,ei->ek", JaW, rr))
+            b_c = b_c.at[pb.ie_j].add(-jnp.einsum("eik,ei->ek", JbW, rr))
+
+        # ---- priors (euclidean dims 6:15) ----
+        pr_w2 = pr_inv_sigma * pr_inv_sigma  # [K, 9]
+        diag_idx = jnp.arange(K)
+        pr_full = jnp.zeros((K, 15), jnp.float32).at[:, 6:15].set(pr_w2)
+        Hcc = Hcc.at[diag_idx, diag_idx].add(jax.vmap(jnp.diag)(pr_full))
+        b_c = b_c.at[:, 6:15].add(-pr_inv_sigma * r_p)
+
+        # ---- Schur elimination of landmarks ----
+        Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
+            + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
+        Hll_inv = jnp.linalg.inv(Hll_d)
+
+        Y_pk = jnp.einsum("pkiv,pvw->pkiw", W_pk, Hll_inv)  # [P, K, 15, 3]
+        S_corr = jnp.einsum("pkiv,pljv->klij", Y_pk, W_pk)  # [K, K, 15, 15]
+        b_corr = jnp.einsum("pkiv,pv->ki", Y_pk, b_l)  # [K, 15]
+
+        S = Hcc - S_corr
+        b = b_c - b_corr
+
+        # LM damping + DOF masking on the reduced system
+        Sm = S.transpose(0, 2, 1, 3).reshape(K * 15, K * 15)
+        diag = jnp.diagonal(Sm)
+        Sm = Sm + jnp.diag(lam * jnp.maximum(diag, 1e-8))
+        dof = problem.kf_dof.reshape(-1)
+        Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
+        bm = b.reshape(-1) * dof
+
+        # Jacobi preconditioning for f32 robustness
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
+        Sm_n = Sm / d[:, None] / d[None, :]
+        dx_c = (jnp.linalg.solve(Sm_n, bm / d) / d).reshape(K, 15)
+
+        # back-substitute landmarks
+        acc = jnp.einsum("pkiv,ki->pv", W_pk, dx_c)  # [P, 3]
+        dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
+        return dx_c, dx_l
+
+    def body(carry, _):
+        pb, lam, cost = carry
+        dx_c, dx_l = solve_once(pb, lam)
+        pb_new = _retract_problem(pb, dx_c, dx_l)
+        new_cost = _total_cost(pb_new, camera, R_cb, t_cb, huber_delta2)
+        improved = new_cost < cost
+        pb = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
+            pb_new, pb,
+        )
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e6))
+        cost = jnp.where(improved, new_cost, cost)
+        return (pb, lam, cost), cost
+
+    cost0 = _total_cost(problem, camera, R_cb, t_cb, huber_delta2)
+    (pb, _, cost), cost_hist = jax.lax.scan(
+        body, (problem, jnp.float32(lambda0), cost0), None, length=n_iters
+    )
+
+    # final per-obs chi2 for inlier classification
+    r_v, _, _, _, chi2, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
+    return pb.kf, pb.points, {
+        "cost0": cost0,
+        "cost": cost,
+        "cost_hist": cost_hist,
+        "obs_chi2": chi2,
+    }

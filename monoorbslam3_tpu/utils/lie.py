@@ -64,14 +64,18 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # arccos has infinite derivative at +-1; keep its input strictly interior
+    # so jacfwd through the OTHER branches stays finite, and keep the
+    # small-angle branch arccos-free entirely (3 - tr ~= theta^2).
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7))
     w_asym = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
 
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
+    small = cos_t > 1.0 - 1e-7
+    near_pi = cos_t < -1.0 + 5e-7
 
     sin_t = jnp.sin(theta)
-    factor = jnp.where(small, 0.5 + theta * theta / 12.0, theta / jnp.where(small, 1.0, 2.0 * sin_t))
+    factor_small = 0.5 + (3.0 - tr) / 24.0  # = (theta/(2 sin theta)) Taylor
+    factor = jnp.where(small, factor_small, theta / jnp.where(small, 1.0, 2.0 * sin_t))
     w_generic = factor[..., None] * w_asym
 
     # Near pi: axis^2 ~ (diag(R) + 1) / 2; sign fixed from the skew part.

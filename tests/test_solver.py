@@ -1,0 +1,252 @@
+"""Solver tests on synthetic graphs with known optima (SURVEY.md §7 stage 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from monoorbslam3_tpu.backend import residuals as res
+from monoorbslam3_tpu.backend.residuals import KfState, PreintEdge
+from monoorbslam3_tpu.backend.solver import BAProblem, lm_solve, schur_ba
+from monoorbslam3_tpu.models.camera import Pinhole
+from monoorbslam3_tpu.models.imu import ImuCalib, preintegrate
+from monoorbslam3_tpu.sim import Trajectory
+from monoorbslam3_tpu.utils import lie
+
+RNG = np.random.default_rng(21)
+CAM = Pinhole.create(fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480)
+R_CB = jnp.eye(3)
+T_CB = jnp.zeros(3)
+# body == camera for these tests: R_cb = I, t_cb = 0
+
+
+def _random_pose(scale_rot=0.3, scale_t=1.0):
+    R = np.asarray(lie.exp_so3(jnp.asarray(RNG.normal(size=3) * scale_rot, jnp.float32)))
+    t = RNG.normal(size=3) * scale_t
+    return R.astype(np.float32), t.astype(np.float32)
+
+
+def _make_states(R_wb, t_wb, v=None, bg=None, ba=None):
+    n = len(R_wb)
+    z = np.zeros((n, 3), np.float32)
+    return KfState(
+        jnp.asarray(np.stack(R_wb)), jnp.asarray(np.stack(t_wb)),
+        jnp.asarray(v if v is not None else z),
+        jnp.asarray(bg if bg is not None else z),
+        jnp.asarray(ba if ba is not None else z),
+    )
+
+
+def test_lm_pose_only_converges():
+    """Single-camera pose optimize against fixed points (poseOptimize analog)."""
+    pts = np.stack(
+        [RNG.uniform(-3, 3, 120), RNG.uniform(-2, 2, 120), RNG.uniform(4, 10, 120)], axis=-1
+    ).astype(np.float32)
+    R_gt, t_gt = np.asarray(lie.exp_so3(jnp.asarray([0.1, -0.05, 0.2], jnp.float32))), np.array(
+        [0.3, -0.2, 0.1], np.float32
+    )
+    # body pose (R_wb, t_wb): camera at body; world points seen from inverse pose
+    s_gt = KfState(jnp.asarray(R_gt)[None], jnp.asarray(t_gt)[None],
+                   jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    uv = res.reprojection_residual(
+        jax.tree_util.tree_map(lambda a: a[0], s_gt), pts, jnp.zeros((120, 2)), CAM, R_CB, T_CB
+    )
+    uv = uv + RNG.normal(scale=0.3, size=uv.shape).astype(np.float32)
+
+    # perturbed initial state
+    dx0 = np.zeros(15, np.float32)
+    dx0[:3] = [0.03, -0.02, 0.01]
+    dx0[3:6] = [0.2, -0.1, 0.15]
+    s0 = res.retract_kf(jax.tree_util.tree_map(lambda a: a[0], s_gt), jnp.asarray(dx0))
+
+    def residual_fn(dx):
+        s = res.retract_kf(s0, dx)
+        r = res.reprojection_residual(s, pts, uv, CAM, R_CB, T_CB)
+        return r.reshape(-1), jnp.ones(r.size, jnp.float32)
+
+    dx, cost = lm_solve(residual_fn, dim=15, n_iters=12)
+    s_est = res.retract_kf(s0, dx)
+    dR = np.asarray(s_est.R_wb).T @ R_gt
+    ang = np.degrees(np.linalg.norm(np.asarray(lie.log_so3(jnp.asarray(dR)))))
+    assert ang < 0.1, f"rotation error {ang} deg"
+    np.testing.assert_allclose(np.asarray(s_est.t_wb), t_gt, atol=5e-3)
+
+
+def _build_ba_problem(n_kf=6, n_pts=200, noise=0.3, perturb=True):
+    """Cameras on an arc looking at a point cloud; first two KFs fixed."""
+    pts = np.stack(
+        [RNG.uniform(-4, 4, n_pts), RNG.uniform(-3, 3, n_pts), RNG.uniform(6, 14, n_pts)],
+        axis=-1,
+    ).astype(np.float32)
+    R_list, t_list = [], []
+    for k in range(n_kf):
+        w = np.array([0.0, 0.04 * k, 0.0], np.float32)
+        R = np.asarray(lie.exp_so3(jnp.asarray(w)))
+        t = np.array([0.4 * k, 0.02 * k, 0.0], np.float32)
+        R_list.append(R)
+        t_list.append(t)
+    kf_gt = _make_states(R_list, t_list)
+
+    obs_kf, obs_pt, obs_uv = [], [], []
+    for k in range(n_kf):
+        s = jax.tree_util.tree_map(lambda a: a[k], kf_gt)
+        uv = np.asarray(res.reprojection_residual(s, pts, np.zeros((n_pts, 2), np.float32), CAM, R_CB, T_CB))
+        vis = np.asarray(CAM.is_in_image(jnp.asarray(uv)))
+        for p in np.nonzero(vis)[0]:
+            obs_kf.append(k)
+            obs_pt.append(p)
+            obs_uv.append(uv[p] + RNG.normal(scale=noise, size=2))
+    O = len(obs_kf)
+
+    kf0 = kf_gt
+    pts0 = pts.copy()
+    if perturb:
+        dR = lie.exp_so3(jnp.asarray(RNG.normal(size=(n_kf, 3)) * 0.01, jnp.float32))
+        R_p = np.array(kf_gt.R_wb @ dR)
+        t_p = np.asarray(kf_gt.t_wb) + RNG.normal(size=(n_kf, 3)).astype(np.float32) * 0.05
+        R_p[:2] = np.asarray(kf_gt.R_wb)[:2]
+        t_p[:2] = np.asarray(kf_gt.t_wb)[:2]
+        kf0 = _make_states(list(R_p), list(t_p))
+        pts0 = pts + RNG.normal(size=pts.shape).astype(np.float32) * 0.1
+
+    dof = np.zeros((n_kf, 15), np.float32)
+    dof[2:, :6] = 1.0  # first two fixed; visual-only: pose dims only
+
+    E = 1  # dummy inertial edge slot (disabled)
+    edge = PreintEdge(
+        dR=jnp.eye(3)[None], dV=jnp.zeros((E, 3)), dP=jnp.zeros((E, 3)),
+        JRg=jnp.zeros((E, 3, 3)), JVg=jnp.zeros((E, 3, 3)), JVa=jnp.zeros((E, 3, 3)),
+        JPg=jnp.zeros((E, 3, 3)), JPa=jnp.zeros((E, 3, 3)),
+        bg0=jnp.zeros((E, 3)), ba0=jnp.zeros((E, 3)), dt=jnp.ones(E),
+        L_inv=jnp.eye(9)[None],
+    )
+    problem = BAProblem(
+        kf=kf0,
+        kf_dof=jnp.asarray(dof),
+        points=jnp.asarray(pts0),
+        pt_active=jnp.ones(n_pts, bool),
+        obs_kf=jnp.asarray(obs_kf, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(np.array(obs_uv), jnp.float32),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        ie_i=jnp.zeros(E, jnp.int32),
+        ie_j=jnp.zeros(E, jnp.int32),
+        ie_edge=edge,
+        ie_valid=jnp.zeros(E, bool),
+        walk_inv_sigma=jnp.zeros((E, 6)),
+        walk_valid=jnp.zeros(E, bool),
+        prior_inv_sigma=jnp.zeros((n_kf, 15)),
+        prior_ref=kf0,
+    )
+    return problem, kf_gt, pts
+
+
+def test_schur_ba_visual_converges():
+    problem, kf_gt, pts_gt = _build_ba_problem()
+    kf, pts, info = schur_ba(problem, CAM, R_CB, T_CB, n_iters=10)
+    assert float(info["cost"]) < float(info["cost0"]) * 0.5
+    # pose error vs ground truth (gauge fixed by the two anchored KFs)
+    for k in range(2, 6):
+        dR = np.asarray(kf.R_wb[k]).T @ np.asarray(kf_gt.R_wb[k])
+        ang = np.degrees(np.linalg.norm(np.asarray(lie.log_so3(jnp.asarray(dR)))))
+        assert ang < 0.2, f"kf{k} rotation error {ang}"
+        terr = np.linalg.norm(np.asarray(kf.t_wb[k]) - np.asarray(kf_gt.t_wb[k]))
+        assert terr < 0.03, f"kf{k} translation error {terr}"
+    # mean point error small
+    perr = np.linalg.norm(np.asarray(pts) - pts_gt, axis=1)
+    assert np.median(perr) < 0.05, f"median point error {np.median(perr)}"
+
+
+def test_schur_ba_visual_inertial_converges():
+    """VI-BA on the analytic trajectory: poses+velocities+biases recover."""
+    traj = Trajectory()
+    calib = ImuCalib.create(
+        R_bc=np.eye(3), t_bc=np.zeros(3),
+        noise_gyro=1.7e-4, noise_acc=2e-3, walk_gyro=2e-5, walk_acc=3e-3,
+    )
+    n_kf = 6
+    times = 2.0 + 0.4 * np.arange(n_kf)
+    bg_true = np.array([0.002, -0.001, 0.003], np.float32)
+    ba_true = np.array([0.02, -0.01, 0.015], np.float32)
+
+    R_list = [traj.R_wb(t).astype(np.float32) for t in times]
+    t_list = [traj.pos(t).astype(np.float32) for t in times]
+    v_arr = np.stack([traj.vel(t) for t in times]).astype(np.float32)
+    kf_gt = _make_states(R_list, t_list, v=v_arr,
+                         bg=np.tile(bg_true, (n_kf, 1)), ba=np.tile(ba_true, (n_kf, 1)))
+
+    # landmarks + observations: with R_cb = I the camera looks along world +z,
+    # so put the landmark field overhead
+    pts = np.stack(
+        [RNG.uniform(-8, 8, 300), RNG.uniform(-8, 8, 300), RNG.uniform(5, 14, 300)],
+        axis=-1,
+    ).astype(np.float32)
+    obs_kf, obs_pt, obs_uv = [], [], []
+    for k in range(n_kf):
+        s = jax.tree_util.tree_map(lambda a: a[k], kf_gt)
+        pc_depth = np.asarray(res.point_depth(s, pts, R_CB, T_CB))
+        uv = np.asarray(res.reprojection_residual(s, pts, np.zeros((300, 2), np.float32), CAM, R_CB, T_CB))
+        vis = np.asarray(CAM.is_in_image(jnp.asarray(uv))) & (pc_depth > 0.5)
+        for p in np.nonzero(vis)[0]:
+            obs_kf.append(k)
+            obs_pt.append(p)
+            obs_uv.append(uv[p] + RNG.normal(scale=0.3, size=2))
+    O = len(obs_kf)
+    assert O > 300, f"too few observations ({O}) — sim geometry broken"
+
+    # preintegrated edges at the true bias linearization = zero-bias estimate
+    edges = []
+    for k in range(n_kf - 1):
+        g, a, d = traj.imu_samples(times[k], times[k + 1], 200.0, bg=bg_true, ba=ba_true)
+        pre = preintegrate(g, a, d, np.ones(len(d), np.float32),
+                           jnp.zeros(3), jnp.zeros(3), calib)
+        edges.append(PreintEdge.from_preintegrated(pre))
+    edge = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *edges)
+    E = n_kf - 1
+
+    # perturb: all but first KF
+    dR = lie.exp_so3(jnp.asarray(RNG.normal(size=(n_kf, 3)) * 0.01, jnp.float32))
+    R_p = np.array(kf_gt.R_wb @ dR)
+    t_p = np.asarray(kf_gt.t_wb) + RNG.normal(size=(n_kf, 3)).astype(np.float32) * 0.05
+    v_p = v_arr + RNG.normal(size=(n_kf, 3)).astype(np.float32) * 0.1
+    R_p[0] = np.asarray(kf_gt.R_wb[0])
+    t_p[0] = np.asarray(kf_gt.t_wb[0])
+    kf0 = _make_states(list(R_p), list(t_p), v=v_p)  # biases start at zero
+
+    dof = np.ones((n_kf, 15), np.float32)
+    dof[0, :6] = 0.0  # anchor first pose
+
+    walk_sigma = np.concatenate([
+        np.full(3, 2e-5 * np.sqrt(200 * 0.4)), np.full(3, 3e-3 * np.sqrt(200 * 0.4))
+    ])
+    problem = BAProblem(
+        kf=kf0,
+        kf_dof=jnp.asarray(dof),
+        points=jnp.asarray(pts + RNG.normal(size=pts.shape).astype(np.float32) * 0.05),
+        pt_active=jnp.ones(300, bool),
+        obs_kf=jnp.asarray(obs_kf, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(np.array(obs_uv), jnp.float32),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        ie_i=jnp.arange(E, dtype=jnp.int32),
+        ie_j=jnp.arange(1, E + 1, dtype=jnp.int32),
+        ie_edge=edge,
+        ie_valid=jnp.ones(E, bool),
+        walk_inv_sigma=jnp.asarray(np.tile(1.0 / walk_sigma, (E, 1)), jnp.float32),
+        walk_valid=jnp.ones(E, bool),
+        prior_inv_sigma=jnp.zeros((n_kf, 15)),
+        prior_ref=kf0,
+    )
+    kf, pts_out, info = schur_ba(problem, CAM, R_CB, T_CB, n_iters=15)
+    assert float(info["cost"]) < float(info["cost0"])
+    # velocities recovered
+    verr = np.linalg.norm(np.asarray(kf.v) - v_arr, axis=1)
+    assert verr.max() < 0.1, f"velocity errors {verr}"
+    # gyro bias recovered (acc bias is weakly observable over short windows)
+    bg_est = np.asarray(kf.bg).mean(axis=0)
+    np.testing.assert_allclose(bg_est, bg_true, atol=2e-3)
+    # poses track ground truth
+    for k in range(1, n_kf):
+        terr = np.linalg.norm(np.asarray(kf.t_wb[k]) - np.asarray(kf_gt.t_wb[k]))
+        assert terr < 0.1, f"kf{k} translation error {terr}"
