@@ -1,0 +1,585 @@
+"""The solver entry points — TPU-native analog of the reference `Optimize`
+static API (modules/Backend/Optimize.h:24-43, Optimize.cpp).
+
+Mapping to the reference's 10 problems:
+
+- pose_optimize            <- Optimize::poseOptimize (Optimize.cpp:444-545)
+- pose_full_optimize       <- Optimize::poseFullOptimize (.cpp:610-764) /
+                              poseInertialOptimize (.cpp:547-608) via flags
+- initial_optimize         <- Optimize::initialOptimize (.cpp:17-91)
+- local_bundle_adjustment  <- Optimize::localBundleAdjustment (.cpp:766-951)
+- local_full_bundle_adjustment <- localFullBundleAdjustment (.cpp:1064-1310)
+- local_inertial_bundle_adjustment <- localInertialBundleAdjustment (.cpp:953-1062)
+- inertial_optimize        <- Optimize::inertialOptimize (.cpp:93-205)
+- gravity_optimize         <- Optimize::gravityOptimize (.cpp:207-237)
+- full_inertial_optimize   <- Optimize::fullInertialOptimize (.cpp:239-442)
+
+Each is a host-facing function over the MapStore + frame data; the math runs
+in fixed-capacity jitted programs (lm_solve / schur_ba). Problem windows
+that exceed a capacity are subsampled host-side, never recompiled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.imu import ImuCalib, preintegrate
+from ..utils import lie
+from . import residuals as res
+from .residuals import KfState, PreintEdge
+from .solver import BAProblem, schur_ba
+
+CHI2_MONO = 5.991
+
+
+# ---------------------------------------------------------------------------
+# Frame pose optimization (tracking thread hot path)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "n_iters", "use_inertial", "use_prior"))
+def _pose_optimize_impl(
+    state0: KfState,
+    pts, uv, inv_sigma2, valid,
+    camera, R_cb, t_cb,
+    edge: PreintEdge, last_state: KfState, edge_valid,
+    prior_ref: KfState, prior_inv_sigma,
+    n_rounds: int = 4, n_iters: int = 10,
+    use_inertial: bool = False, use_prior: bool = False,
+):
+    """Shared frame-optimize core: visual (+ inertial-to-last-KF) LM with
+    per-round chi2 inlier re-classification (the reference's 4x10 loop with
+    chi2 5.991, Optimize.cpp:498-524)."""
+
+    def chi2_of(s):
+        r = res.reprojection_residual(s, pts, uv, camera, R_cb, t_cb)
+        depth_ok = res.point_depth(s, pts, R_cb, t_cb) > 0.05
+        return jnp.sum(r * r, axis=-1) * inv_sigma2, depth_ok
+
+    def run_round(state, inlier):
+        w_vis = inlier.astype(jnp.float32) * inv_sigma2
+
+        def residual_fn(dx):
+            s = res.retract_kf(state, dx)
+            r = res.reprojection_residual(s, pts, uv, camera, R_cb, t_cb).reshape(-1)
+            w = jnp.repeat(w_vis, 2)
+            parts_r, parts_w = [r], [w]
+            if use_inertial:
+                ri = res.inertial_residual(last_state, s, edge)
+                parts_r.append(ri)
+                parts_w.append(jnp.full(9, edge_valid, jnp.float32))
+            if use_prior:
+                x = jnp.concatenate([s.v, s.bg, s.ba])
+                x0 = jnp.concatenate([prior_ref.v, prior_ref.bg, prior_ref.ba])
+                rp = (x - x0) * prior_inv_sigma
+                parts_r.append(rp)
+                parts_w.append(jnp.ones(9, jnp.float32))
+            return jnp.concatenate(parts_r), jnp.concatenate(parts_w)
+
+        def lm_body(carry, _):
+            dx, lam, cost = carry
+            r, w = residual_fn(dx)
+            # IRLS Huber reweighting (reference wraps every reprojection edge
+            # in a RobustKernelHuber with delta^2 = 5.991, Optimize.cpp:480)
+            n_vis2 = pts.shape[0] * 2
+            chi2_pair = jnp.sum((r[:n_vis2] ** 2).reshape(-1, 2) * (
+                w[:n_vis2].reshape(-1, 2)), axis=-1)
+            w_h = jnp.repeat(res.huber_weight(chi2_pair, CHI2_MONO), 2)
+            w = w.at[:n_vis2].multiply(jax.lax.stop_gradient(w_h))
+            J = jax.jacfwd(lambda d: residual_fn(d)[0])(dx)
+            Jw = J * w[:, None]
+            H = J.T @ Jw
+            g = Jw.T @ r
+            D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+            step = -jnp.linalg.solve(H + lam * D, g)
+            dx_new = dx + step
+            new_cost = robust_cost(dx_new)
+            improved = new_cost < cost
+            dx = jnp.where(improved, dx_new, dx)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            cost = jnp.where(improved, new_cost, cost)
+            return (dx, lam, cost), None
+
+        def robust_cost(dx):
+            r, w = residual_fn(dx)
+            n_vis2 = pts.shape[0] * 2
+            chi2_pair = jnp.sum((r[:n_vis2] ** 2).reshape(-1, 2)
+                                * w[:n_vis2].reshape(-1, 2), axis=-1)
+            c_vis = jnp.sum(res.huber_cost(chi2_pair, CHI2_MONO))
+            tail = r[n_vis2:]
+            wt = w[n_vis2:]
+            return c_vis + jnp.sum(wt * tail * tail)
+
+        (dx, _, _), _ = jax.lax.scan(
+            lm_body, (jnp.zeros(15, jnp.float32), jnp.float32(1e-3),
+                      robust_cost(jnp.zeros(15, jnp.float32))), None, length=n_iters
+        )
+        new_state = res.retract_kf(state, dx)
+        chi2, depth_ok = chi2_of(new_state)
+        new_inlier = valid & (chi2 < CHI2_MONO) & depth_ok
+        return new_state, new_inlier
+
+    chi2, depth_ok = chi2_of(state0)
+    inlier = valid & depth_ok
+    state = state0
+    for _ in range(n_rounds):
+        state, inlier = run_round(state, inlier)
+    return state, inlier
+
+
+class Problems:
+    """Solver façade bound to a camera + IMU calibration (the role of the
+    reference's `Optimize` static class + its g2o solver setup)."""
+
+    def __init__(self, camera, calib: ImuCalib,
+                 local_k: int = 32, local_p: int = 2048, local_o: int = 6144,
+                 imu_cap: int = 512):
+        self.camera = camera
+        self.calib = calib
+        self.local_k, self.local_p, self.local_o = local_k, local_p, local_o
+        self.imu_cap = imu_cap
+        self._preint_batch = jax.jit(jax.vmap(
+            lambda g, a, d, m, bg, ba: preintegrate(g, a, d, m, bg, ba, calib)
+        ))
+
+    # -- frame optimize -------------------------------------------------
+
+    def pose_optimize(self, state0: KfState, pts, uv, inv_sigma2, valid):
+        """Visual-only frame pose (poseOptimize). Returns (state, inliers)."""
+        dummy_edge = _identity_edge()
+        z = KfState.zeros()
+        state, inlier = _pose_optimize_impl(
+            state0, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(inv_sigma2),
+            jnp.asarray(valid), self.camera, self.calib.R_cb, self.calib.t_cb,
+            dummy_edge, z, jnp.float32(0.0), z, jnp.zeros(9, jnp.float32),
+            use_inertial=False, use_prior=False,
+        )
+        return state, np.asarray(inlier)
+
+    def pose_full_optimize(self, state0: KfState, pts, uv, inv_sigma2, valid,
+                           last_state: KfState, pre, prior_inv_sigma=None,
+                           prior_ref: KfState | None = None):
+        """Frame pose+velocity+bias tied to the last KF via the inertial edge
+        (poseFullOptimize)."""
+        edge = PreintEdge.from_preintegrated(pre)
+        use_prior = prior_inv_sigma is not None
+        prior_ref = prior_ref if prior_ref is not None else state0
+        pis = jnp.asarray(prior_inv_sigma, jnp.float32) if use_prior else jnp.zeros(9, jnp.float32)
+        state, inlier = _pose_optimize_impl(
+            state0, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(inv_sigma2),
+            jnp.asarray(valid), self.camera, self.calib.R_cb, self.calib.t_cb,
+            edge, last_state, jnp.float32(1.0), prior_ref, pis,
+            use_inertial=True, use_prior=use_prior,
+        )
+        return state, np.asarray(inlier)
+
+    # -- BA problems ----------------------------------------------------
+
+    def _batch_edges(self, store, ordered_ids):
+        """Preintegrate the KF->KF IMU windows for consecutive ids, batched."""
+        E = len(ordered_ids) - 1
+        if E <= 0:
+            return None
+        g = np.zeros((E, self.imu_cap, 3), np.float32)
+        a = np.zeros((E, self.imu_cap, 3), np.float32)
+        d = np.zeros((E, self.imu_cap), np.float32)
+        m = np.zeros((E, self.imu_cap), np.float32)
+        bg = np.zeros((E, 3), np.float32)
+        ba = np.zeros((E, 3), np.float32)
+        for e in range(E):
+            k = ordered_ids[e]
+            buf = store.kf_imu.get(k)
+            if buf is None or buf.n == 0:
+                continue
+            gg, aa, dd, mm = buf.padded(self.imu_cap)
+            g[e], a[e], d[e], m[e] = gg, aa, dd, mm
+            bg[e] = store.kf_bg[k]
+            ba[e] = store.kf_ba[k]
+        pre = self._preint_batch(g, a, d, m, bg, ba)
+        return PreintEdge.from_preintegrated(pre)
+
+    def build_window_problem(self, store, opt_ids, fixed_ids,
+                             inertial=False, opt_points=True,
+                             pose_dofs=True, vb_dofs=False,
+                             priors=False):
+        """Assemble a fixed-capacity BAProblem from a MapStore window."""
+        K, P, O = self.local_k, self.local_p, self.local_o
+        ids = list(opt_ids) + [k for k in fixed_ids if k not in opt_ids]
+        ids = ids[:K]
+        slot = {k: i for i, k in enumerate(ids)}
+        nk = len(ids)
+
+        R, t, v, bg, ba = store.keyframe_states(ids)
+        kf = KfState(*(jnp.asarray(np.concatenate([x, _pad_kf(x, K - nk)]))
+                       for x in (R, t, v, bg, ba)))
+
+        dof = np.zeros((K, 15), np.float32)
+        for i, k in enumerate(ids):
+            if k in set(opt_ids):
+                if pose_dofs:
+                    dof[i, :6] = 1.0
+                if vb_dofs:
+                    dof[i, 6:15] = 1.0
+
+        # points observed by the window
+        feat_pt = store.kf_feat_pt[np.asarray(ids)]
+        pids = np.unique(feat_pt[feat_pt >= 0])
+        pids = pids[store.pt_valid[pids]]
+        if len(pids) > P:
+            # keep the best-observed points
+            order = np.argsort(-store.pt_n_obs[pids])
+            pids = pids[order[:P]]
+        np_pts = len(pids)
+        pt_slot = np.full(store.max_pt, -1, np.int64)
+        pt_slot[pids] = np.arange(np_pts)
+
+        points = np.zeros((P, 3), np.float32)
+        points[:np_pts] = store.pt_xyz[pids]
+        pt_active = np.zeros(P, bool)
+        pt_active[:np_pts] = bool(opt_points)
+
+        # observations: all (window KF, point) pairs
+        obs_kf, obs_pt, obs_uv, obs_is2 = [], [], [], []
+        for i, k in enumerate(ids):
+            fsel = np.nonzero(feat_pt[i] >= 0)[0]
+            psel = feat_pt[i][fsel]
+            keep = pt_slot[psel] >= 0
+            fsel, psel = fsel[keep], psel[keep]
+            obs_kf.append(np.full(len(fsel), i, np.int32))
+            obs_pt.append(pt_slot[psel].astype(np.int32))
+            obs_uv.append(store.kf_feat_xy[k, fsel])
+            obs_is2.append(1.0 / store.kf_feat_sigma2[k, fsel])
+        obs_kf = np.concatenate(obs_kf) if obs_kf else np.zeros(0, np.int32)
+        obs_pt = np.concatenate(obs_pt) if obs_pt else np.zeros(0, np.int32)
+        obs_uv = np.concatenate(obs_uv) if obs_uv else np.zeros((0, 2), np.float32)
+        obs_is2 = np.concatenate(obs_is2) if obs_is2 else np.zeros(0, np.float32)
+        no = min(len(obs_kf), O)
+        obs_meta = (obs_kf[:no].copy(), obs_pt[:no].copy())
+
+        o_kf = np.zeros(O, np.int32)
+        o_pt = np.zeros(O, np.int32)
+        o_uv = np.zeros((O, 2), np.float32)
+        o_is2 = np.ones(O, np.float32)
+        o_val = np.zeros(O, bool)
+        o_kf[:no] = obs_kf[:no]
+        o_pt[:no] = obs_pt[:no]
+        o_uv[:no] = obs_uv[:no]
+        o_is2[:no] = obs_is2[:no]
+        o_val[:no] = True
+
+        # inertial edges between consecutive *optimized+fixed* ids in time order
+        E = K - 1
+        ie_i = np.zeros(E, np.int32)
+        ie_j = np.zeros(E, np.int32)
+        ie_valid = np.zeros(E, bool)
+        walk_inv = np.zeros((E, 6), np.float32)
+        walk_valid = np.zeros(E, bool)
+        edge = _identity_edge_batch(E)
+        if inertial and nk >= 2:
+            ordered = sorted(ids, key=lambda k: store.kf_time[k])
+            real = self._batch_edges(store, ordered)
+            ne = min(len(ordered) - 1, E)
+            for e in range(ne):
+                ie_i[e] = slot[ordered[e]]
+                ie_j[e] = slot[ordered[e + 1]]
+                ie_valid[e] = store.kf_imu.get(ordered[e]) is not None and \
+                    store.kf_imu[ordered[e]].n > 0
+                dtw = max(store.kf_time[ordered[e + 1]] - store.kf_time[ordered[e]], 1e-3)
+                freq = self.calib.freq
+                wg = np.sqrt(np.asarray(self.calib.cov_walk)[0] * freq * dtw)
+                wa = np.sqrt(np.asarray(self.calib.cov_walk)[3] * freq * dtw)
+                walk_inv[e, :3] = 1.0 / max(wg, 1e-9)
+                walk_inv[e, 3:] = 1.0 / max(wa, 1e-9)
+                walk_valid[e] = ie_valid[e]
+            edge = jax.tree_util.tree_map(
+                lambda full, realv: full.at[:ne].set(realv[:ne]) if ne > 0 else full,
+                edge, real,
+            )
+
+        prior_inv_sigma = np.zeros((K, 15), np.float32)
+        if priors:
+            for i, k in enumerate(ids):
+                prior_inv_sigma[i, 6:15] = store.kf_prior_inv_sigma[k]
+
+        problem = BAProblem(
+            kf=kf,
+            kf_dof=jnp.asarray(dof),
+            points=jnp.asarray(points),
+            pt_active=jnp.asarray(pt_active),
+            obs_kf=jnp.asarray(o_kf), obs_pt=jnp.asarray(o_pt),
+            obs_uv=jnp.asarray(o_uv), obs_inv_sigma2=jnp.asarray(o_is2),
+            obs_valid=jnp.asarray(o_val),
+            ie_i=jnp.asarray(ie_i), ie_j=jnp.asarray(ie_j),
+            ie_edge=edge, ie_valid=jnp.asarray(ie_valid),
+            walk_inv_sigma=jnp.asarray(walk_inv), walk_valid=jnp.asarray(walk_valid),
+            prior_inv_sigma=jnp.asarray(prior_inv_sigma), prior_ref=kf,
+        )
+        return problem, ids, pids, obs_meta
+
+    def run_window_ba(self, store, opt_ids, fixed_ids, n_iters=8,
+                      inertial=False, vb_dofs=False, priors=False,
+                      opt_points=True, pose_dofs=True,
+                      remove_outliers=True):
+        """Build, solve, and write back a window BA. Returns info dict."""
+        problem, ids, pids, (obs_kf_l, obs_pt_l) = self.build_window_problem(
+            store, opt_ids, fixed_ids, inertial=inertial,
+            opt_points=opt_points, pose_dofs=pose_dofs, vb_dofs=vb_dofs,
+            priors=priors,
+        )
+        kf, pts, info = schur_ba(problem, self.camera, self.calib.R_cb,
+                                 self.calib.t_cb, n_iters=n_iters)
+        # write back keyframe states
+        R = np.asarray(kf.R_wb)
+        t = np.asarray(kf.t_wb)
+        v = np.asarray(kf.v)
+        bg = np.asarray(kf.bg)
+        ba = np.asarray(kf.ba)
+        opt_set = set(opt_ids)
+        for i, k in enumerate(ids):
+            if k in opt_set:
+                store.kf_R[k] = _renormalize(R[i])
+                store.kf_t[k] = t[i]
+                if vb_dofs:
+                    store.kf_v[k] = v[i]
+                    store.kf_bg[k] = bg[i]
+                    store.kf_ba[k] = ba[i]
+        if opt_points:
+            store.pt_xyz[pids] = np.asarray(pts)[: len(pids)]
+        # outlier observation removal (chi2 > 5.991; Optimize.cpp:912-927)
+        n_out = 0
+        if remove_outliers:
+            chi2 = np.asarray(info["obs_chi2"])[: len(obs_kf_l)]
+            bad = np.nonzero(chi2 > CHI2_MONO)[0]
+            for o in bad:
+                k = ids[obs_kf_l[o]]
+                p = int(pids[obs_pt_l[o]])
+                store.remove_observation(p, k)
+                n_out += 1
+        store.version += 1
+        return {"cost0": float(info["cost0"]), "cost": float(info["cost"]),
+                "n_outliers": n_out, "ids": ids, "n_points": len(pids)}
+
+    # -- named problems --------------------------------------------------
+
+    def initial_optimize(self, store, kf_ids, n_iters=20):
+        """2-KF + points BA after two-view init (initialOptimize)."""
+        return self.run_window_ba(store, opt_ids=[kf_ids[1]], fixed_ids=[kf_ids[0]],
+                                  n_iters=n_iters, remove_outliers=False)
+
+    def local_bundle_adjustment(self, store, center_kf, window=10, n_iters=8):
+        """Covisibility-window visual BA with fixed anchors
+        (localBundleAdjustment, Optimize.cpp:766-951).
+
+        The window is the covisibility NEIGHBORHOOD of the current KF, and
+        the anchors are every other KF observing the window's points
+        (capped). Anchors must stay strongly covisible with the window:
+        pinning the gauge on old, barely-covisible KFs lets BA wobble the
+        young end of the map and destabilizes tracking."""
+        opt_ids = [center_kf] + store.covisible_keyframes(center_kf, top=window - 1)
+        opt_set = set(opt_ids)
+        # anchors: covisible neighbors of the window that are not in it
+        fixed = []
+        for k in opt_ids:
+            for j in store.covisible_keyframes(k, top=10):
+                if j not in opt_set and j not in fixed:
+                    fixed.append(j)
+        if not fixed:
+            # young map: anchor the oldest window KFs to pin the gauge
+            by_time = sorted(opt_ids, key=lambda k: store.kf_time[k])
+            if len(by_time) > 2:
+                fixed = by_time[:2]
+                opt_ids = [k for k in opt_ids if k not in fixed]
+            else:
+                fixed = by_time[:1]
+                opt_ids = [k for k in opt_ids if k not in fixed]
+        return self.run_window_ba(store, opt_ids, fixed[: self.local_k // 2],
+                                  n_iters=n_iters)
+
+    def local_full_bundle_adjustment(self, store, window=10, n_iters=8):
+        """Sliding-window visual-inertial BA (localFullBundleAdjustment)."""
+        opt_ids = store.recent_keyframes(window)
+        all_ids = store.keyframe_ids()
+        older = [k for k in all_ids if k not in opt_ids]
+        fixed = older[-5:]  # temporal anchors
+        return self.run_window_ba(store, opt_ids, fixed, n_iters=n_iters,
+                                  inertial=True, vb_dofs=True, priors=True)
+
+    def local_inertial_bundle_adjustment(self, store, window=10, n_iters=8):
+        """Velocity/bias-only sliding window (localInertialBundleAdjustment)."""
+        opt_ids = store.recent_keyframes(window)
+        fixed = [k for k in store.keyframe_ids() if k not in opt_ids][-3:]
+        return self.run_window_ba(store, opt_ids, fixed, n_iters=n_iters,
+                                  inertial=True, vb_dofs=True, priors=True,
+                                  pose_dofs=False, opt_points=False)
+
+    def full_inertial_optimize(self, store, n_iters=12):
+        """Full VI-BA over all KFs + points (fullInertialOptimize)."""
+        ids = store.keyframe_ids()
+        opt_ids = ids[1:]  # anchor the first KF
+        return self.run_window_ba(store, opt_ids, [ids[0]], n_iters=n_iters,
+                                  inertial=True, vb_dofs=True, priors=True)
+
+    # -- inertial initialization ----------------------------------------
+
+    def inertial_optimize(self, store, prior_g=1e6, prior_a=1e12, n_iters=60,
+                          with_scale=True):
+        """Vision-fixed inertial-only init (inertialOptimize): solves per-KF
+        velocities, shared bg/ba, gravity direction R_wg, optional log-scale,
+        with bias priors. Returns (R_wg, scale, bg, ba) and writes
+        velocities/biases into the store."""
+        ids = store.keyframe_ids()
+        K = len(ids)
+        if K < 3:
+            return None
+        R, t, v, _, _ = store.keyframe_states(ids)
+        edge = self._batch_edges(store, ids)
+        kf = KfState(jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
+                     jnp.zeros((K, 3)), jnp.zeros((K, 3)))
+
+        # gravity seed: direction of mean preintegrated velocity delta
+        # (LocalMapping.cpp:391-407)
+        dV_sum = np.asarray(edge.dV).sum(axis=0)
+        g_dir = -dV_sum / max(np.linalg.norm(dV_sum), 1e-9)
+        g_i = np.array([0.0, 0.0, -1.0])
+        axis = np.cross(g_i, g_dir)
+        s_norm = np.linalg.norm(axis)
+        cth = float(np.dot(g_i, g_dir))
+        if s_norm < 1e-8:
+            R_wg0 = np.eye(3, dtype=np.float32)
+        else:
+            w = axis / s_norm * np.arctan2(s_norm, cth)
+            R_wg0 = np.asarray(lie.exp_so3(jnp.asarray(w, jnp.float32)))
+
+        # priors are information values (reference passes 1e6/1e12,
+        # LocalMapping.cpp:57-60); residual whitening uses sqrt(info)
+        out = _inertial_init_impl(
+            kf, edge, jnp.asarray(R_wg0), jnp.float32(np.sqrt(prior_g)),
+            jnp.float32(np.sqrt(prior_a)), n_iters=n_iters, with_scale=with_scale,
+        )
+        R_wg = np.asarray(out["R_wg"])
+        scale = float(out["scale"])
+        bg = np.asarray(out["bg"])
+        ba = np.asarray(out["ba"])
+        vels = np.asarray(out["v"])
+        for i, k in enumerate(ids):
+            store.kf_v[k] = vels[i]
+            store.kf_bg[k] = bg
+            store.kf_ba[k] = ba
+        return {"R_wg": R_wg, "scale": scale, "bg": bg, "ba": ba,
+                "cost0": float(out["cost0"]), "cost": float(out["cost"])}
+
+    def gravity_optimize(self, store, n_iters=30):
+        """Gravity-direction-only refinement (gravityOptimize)."""
+        out = self.inertial_optimize(store, prior_g=1e8, prior_a=1e12,
+                                     n_iters=n_iters, with_scale=False)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# inertial init jitted core
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_iters", "with_scale"))
+def _inertial_init_impl(kf: KfState, edge: PreintEdge, R_wg0,
+                        prior_inv_g, prior_inv_a,
+                        n_iters: int = 60, with_scale: bool = True):
+    K = kf.t_wb.shape[0]
+    E = K - 1
+    dim = 3 * K + 3 + 3 + 2 + 1  # v, bg, ba, gravity theta, log-scale
+
+    def unpack(x):
+        v = kf.v + x[: 3 * K].reshape(K, 3)
+        bg = x[3 * K : 3 * K + 3]
+        ba = x[3 * K + 3 : 3 * K + 6]
+        theta = x[3 * K + 6 : 3 * K + 8]
+        ls = x[3 * K + 8] if with_scale else jnp.float32(0.0)
+        return v, bg, ba, theta, ls
+
+    def residual_fn(x):
+        v, bg, ba, theta, ls = unpack(x)
+        R_wg = res.gravity_rotation(theta, R_wg0)
+        s1 = KfState(kf.R_wb[:-1], kf.t_wb[:-1], v[:-1],
+                     jnp.broadcast_to(bg, (E, 3)), jnp.broadcast_to(ba, (E, 3)))
+        s2 = KfState(kf.R_wb[1:], kf.t_wb[1:], v[1:],
+                     jnp.broadcast_to(bg, (E, 3)), jnp.broadcast_to(ba, (E, 3)))
+        r_ie = res.inertial_gs_residual(s1, s2, edge, R_wg, ls).reshape(-1)
+        r_prior = jnp.concatenate([bg, ba]) * jnp.concatenate(
+            [jnp.full(3, prior_inv_g), jnp.full(3, prior_inv_a)]
+        )
+        return jnp.concatenate([r_ie, r_prior])
+
+    def cost_fn(x):
+        r = residual_fn(x)
+        return jnp.sum(r * r)
+
+    def body(carry, _):
+        x, lam, cost = carry
+        J = jax.jacfwd(residual_fn)(x)
+        r = residual_fn(x)
+        H = J.T @ J
+        g = J.T @ r
+        D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        step = -jnp.linalg.solve(H + lam * D, g)
+        x_new = x + step
+        new_cost = cost_fn(x_new)
+        improved = new_cost < cost
+        x = jnp.where(improved, x_new, x)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        cost = jnp.where(improved, new_cost, cost)
+        return (x, lam, cost), None
+
+    x0 = jnp.zeros(dim, jnp.float32)
+    cost0 = cost_fn(x0)
+    (x, _, cost), _ = jax.lax.scan(body, (x0, jnp.float32(1e-2), cost0),
+                                   None, length=n_iters)
+    v, bg, ba, theta, ls = unpack(x)
+    return {
+        "v": v, "bg": bg, "ba": ba,
+        "R_wg": res.gravity_rotation(theta, R_wg0),
+        "scale": jnp.exp(ls),
+        "cost0": cost0, "cost": cost,
+    }
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _identity_edge() -> PreintEdge:
+    return PreintEdge(
+        dR=jnp.eye(3), dV=jnp.zeros(3), dP=jnp.zeros(3),
+        JRg=jnp.zeros((3, 3)), JVg=jnp.zeros((3, 3)), JVa=jnp.zeros((3, 3)),
+        JPg=jnp.zeros((3, 3)), JPa=jnp.zeros((3, 3)),
+        bg0=jnp.zeros(3), ba0=jnp.zeros(3), dt=jnp.float32(1.0),
+        L_inv=jnp.eye(9),
+    )
+
+
+def _identity_edge_batch(E: int) -> PreintEdge:
+    one = _identity_edge()
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (E, *a.shape)), one
+    )
+
+
+def _pad_kf(x: np.ndarray, n: int) -> np.ndarray:
+    if n <= 0:
+        return np.zeros((0, *x.shape[1:]), x.dtype)
+    if x.ndim == 3:  # rotations: pad with identity
+        return np.tile(np.eye(3, dtype=x.dtype), (n, 1, 1))
+    return np.zeros((n, *x.shape[1:]), x.dtype)
+
+
+def _renormalize(R: np.ndarray) -> np.ndarray:
+    U, _, Vt = np.linalg.svd(R)
+    out = U @ Vt
+    if np.linalg.det(out) < 0:
+        U[:, -1] *= -1
+        out = U @ Vt
+    return out.astype(np.float32)

@@ -1,0 +1,435 @@
+"""LocalMapping: keyframe processing, triangulation, culling, BA, IMU init.
+
+TPU-native analog of the reference mapper thread (modules/Frontend/
+LocalMapping.cpp:19-656). The daemon poll loop becomes an explicit
+`process(kf_id)` step driven by the System (synchronously for determinism,
+or from a host thread — the reference's queue boundary, LocalMapping.cpp:
+589-606). Stages map 1:1:
+
+- process_new_keyframe      <- processNewKeyFrame (.cpp:88-115)
+- cull_map_points           <- MapPointCulling (.cpp:117-144)
+- create_new_map_points     <- createNewMapPoints (.cpp:146-259), with the
+  per-neighbor SearchForTriangulation + DLT + 5 acceptance gates fused into
+  one batched kernel per KF pair
+- fuse_neighbors            <- searchInNeighbors (.cpp:261-316)
+- BA dispatch               <- .cpp:44-54 (visual local BA before IMU init,
+  local-inertial + full local BA after)
+- initialize_imu            <- initializeIMU (.cpp:374-482) with priors
+  1e6/1e12 and the scale<0.1 abort
+- refine_gravity            <- gravityRefinement (.cpp:484-504)
+- cull_keyframes            <- KeyFrameCulling 90% redundancy (.cpp:318-372)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import matching
+from ..ops.twoview import triangulate_dlt
+from ..utils import lie
+
+IMU_NOT_INIT = 0
+IMU_INITIALIZED = 1
+IMU_FINISHED = 2
+
+
+@partial(jax.jit, static_argnames=())
+def _triangulate_pair_kernel(
+    xy1, desc1, valid1, sigma2_1,
+    xy2, desc2, valid2, sigma2_2,
+    K, R_cw1, t_cw1, R_cw2, t_cw2,
+):
+    """Match unmatched features of two KFs with an epipolar gate, then
+    triangulate and apply the acceptance gates (LocalMapping.cpp:146-259).
+
+    All coords are undistorted pixels. Returns (match_idx [N1] into KF2,
+    points [N1, 3] world, accept [N1] bool).
+    """
+    # fundamental matrix from poses: x2' F x1 = 0
+    R12 = R_cw1 @ R_cw2.T
+    # relative pose c1 -> c2: T_21 = T_c2w * T_wc1
+    R21 = R_cw2 @ R_cw1.T
+    t21 = t_cw2 - R21 @ t_cw1
+    Kinv = jnp.linalg.inv(K)
+    E = lie.hat(t21) @ R21
+    F = Kinv.T @ E @ Kinv
+
+    one1 = jnp.ones_like(xy1[:, :1])
+    p1 = jnp.concatenate([xy1, one1], axis=-1)
+    p2 = jnp.concatenate([xy2, one1], axis=-1)
+    l2 = p1 @ F.T  # epipolar lines of KF1 features in KF2
+    num = p2 @ F @ p1.T  # [N2, N1] -> transpose below
+    d2 = (num.T**2) / jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12)[:, None]
+    epi_ok = d2 < 3.84 * sigma2_2[None, :]
+
+    pair_mask = valid1[:, None] & valid2[None, :] & epi_ok
+    idx, _ = matching.masked_nn_match(
+        matching.hamming_matrix(desc1, desc2), pair_mask,
+        max_dist=matching.TH_LOW, ratio=0.9, mutual=True,
+    )
+    hit = idx >= 0
+    safe_idx = jnp.maximum(idx, 0)
+    xy2_m = xy2[safe_idx]
+
+    P1 = K @ jnp.concatenate([R_cw1, t_cw1[:, None]], axis=1)
+    P2 = K @ jnp.concatenate([R_cw2, t_cw2[:, None]], axis=1)
+    X = triangulate_dlt(P1, P2, xy1, xy2_m)  # world frame
+
+    # gates
+    O1 = -R_cw1.T @ t_cw1
+    O2 = -R_cw2.T @ t_cw2
+    n1 = X - O1
+    n2 = X - O2
+    cos_par = jnp.sum(n1 * n2, -1) / jnp.maximum(
+        jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), 1e-12
+    )
+    pc1 = X @ R_cw1.T + t_cw1
+    pc2 = X @ R_cw2.T + t_cw2
+    z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
+
+    def reproj(pc, xy, s2):
+        u = K[0, 0] * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-9) + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-9) + K[1, 2]
+        return ((u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2) / s2
+
+    e1 = reproj(pc1, xy1, sigma2_1)
+    e2 = reproj(pc2, xy2_m, sigma2_2[safe_idx])
+
+    # scale-consistency: distance ratio within the octave band (.cpp:236-247)
+    d_1 = jnp.linalg.norm(n1, axis=-1)
+    d_2 = jnp.linalg.norm(n2, axis=-1)
+    ratio = d_1 / jnp.maximum(d_2, 1e-9)
+    s_ratio = jnp.sqrt(sigma2_1 / jnp.maximum(sigma2_2[safe_idx], 1e-9))
+    scale_ok = (ratio < s_ratio * 2.0) & (ratio * 2.0 > s_ratio / 1.0)
+
+    accept = (
+        hit & z_ok & (cos_par < 0.9998) & (e1 < 5.991) & (e2 < 5.991)
+        & scale_ok & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+    return idx, X, accept
+
+
+@partial(jax.jit, static_argnames=())
+def _fuse_project_kernel(pt_xyz, pt_desc, pt_valid,
+                         xy, desc, valid, sigma2,
+                         K, R_cw, t_cw, radius_scale):
+    """Project map points into a KF and find the best feature within radius
+    (the Fuse projection search, ORBMatcher.cpp:524-592)."""
+    pc = pt_xyz @ R_cw.T + t_cw
+    z_ok = pc[:, 2] > 0.05
+    u = K[0, 0] * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-9) + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-9) + K[1, 2]
+    uv = jnp.stack([u, v], axis=-1)
+    radius = jnp.full(pt_xyz.shape[0], radius_scale, jnp.float32)
+    mask = matching.projection_mask(uv, z_ok & pt_valid, xy, valid, radius)
+    idx, dist = matching.masked_nn_match(
+        matching.hamming_matrix(pt_desc, desc), mask,
+        max_dist=matching.TH_LOW, ratio=1.0, mutual=False, use_ratio=False,
+    )
+    return idx
+
+
+class LocalMapping:
+    def __init__(self, store, problems, calib, tracking, config=None):
+        self.store = store
+        self.problems = problems
+        self.calib = calib
+        self.tracking = tracking
+        cfg = config or {}
+        self.imu_init_kfs = cfg.get("imu_init_kfs", 16)
+        self.gravity_refine_delay = cfg.get("gravity_refine_delay", 3.0)
+        self.triangulate_neighbors = cfg.get("triangulate_neighbors", 8)
+        self.window = cfg.get("local_ba_window", 10)
+        self.scale_factors = cfg.get(
+            "scale_factors", np.array([1.2**i for i in range(8)], np.float32)
+        )
+        self.imu_state = IMU_NOT_INIT
+        self.imu_init_time = None
+        self.recent_points: list[tuple[int, int]] = []  # (pt_id, birth_kf_count)
+        self.kf_counter = 0
+        self.last_info = {}
+
+    # ------------------------------------------------------------------
+
+    def process(self, k: int, initial: bool = False):
+        """One mapper step for a freshly inserted keyframe."""
+        self.kf_counter += 1
+        self.process_new_keyframe(k)
+        if initial:
+            return
+        self.cull_map_points()
+        self.create_new_map_points(k)
+        self.fuse_neighbors(k)
+
+        if self.store.n_keyframes() >= 3:
+            if self.imu_state == IMU_NOT_INIT:
+                self.last_info = self.problems.local_bundle_adjustment(
+                    self.store, k, window=self.window)
+            else:
+                self.last_info = self.problems.local_full_bundle_adjustment(
+                    self.store, window=self.window)
+
+        if (self.imu_state == IMU_NOT_INIT
+                and self.store.n_keyframes() > self.imu_init_kfs):
+            self.initialize_imu()
+        elif (self.imu_state == IMU_INITIALIZED
+              and self.imu_init_time is not None
+              and self.store.kf_time[k] - self.imu_init_time > self.gravity_refine_delay):
+            self.refine_gravity()
+
+        self.cull_keyframes(k)
+
+    # ------------------------------------------------------------------
+
+    def process_new_keyframe(self, k: int):
+        """Attach observations + refresh point stats (processNewKeyFrame)."""
+        store = self.store
+        pids = store.kf_feat_pt[k]
+        pids = np.unique(pids[pids >= 0])
+        store.update_point_stats(
+            pids, np.asarray(self.calib.R_cb), np.asarray(self.calib.t_cb),
+            self.scale_factors,
+        )
+
+    def cull_map_points(self):
+        """Found-ratio < 0.25 or under-observed young points (MapPointCulling)."""
+        store = self.store
+        keep = []
+        for pid, birth in self.recent_points:
+            if not store.pt_valid[pid]:
+                continue
+            age = self.kf_counter - birth
+            found_ratio = store.pt_found[pid] / max(store.pt_visible[pid], 1)
+            if found_ratio < 0.25:
+                store.remove_point(pid)
+            elif age >= 2 and store.pt_n_obs[pid] <= 2:
+                store.remove_point(pid)
+            elif age >= 3:
+                continue  # graduated
+            else:
+                keep.append((pid, birth))
+        self.recent_points = keep
+
+    def create_new_map_points(self, k: int):
+        """Triangulate vs recent covisible KFs (createNewMapPoints)."""
+        store = self.store
+        neighbors = store.covisible_keyframes(k, top=self.triangulate_neighbors)
+        if not neighbors:
+            neighbors = [j for j in store.recent_keyframes(3) if j != k]
+        K = _K_of(self.problems.camera)
+        R_cb = np.asarray(self.calib.R_cb)
+        t_cb = np.asarray(self.calib.t_cb)
+        R_cw1, t_cw1 = store.kf_pose_cw(k, R_cb, t_cb)
+
+        # unmatched features of KF k
+        free1 = store.kf_feat_valid[k] & (store.kf_feat_pt[k] < 0)
+        n_new = 0
+        for j in neighbors:
+            if j == k:
+                continue
+            # baseline check vs scene depth (LocalMapping.cpp:166-171)
+            R_cw2, t_cw2 = store.kf_pose_cw(j, R_cb, t_cb)
+            baseline = np.linalg.norm((-R_cw2.T @ t_cw2) - (-R_cw1.T @ t_cw1))
+            med_depth = self._median_depth(j)
+            if med_depth > 0 and baseline / med_depth < 0.01:
+                continue
+            free2 = store.kf_feat_valid[j] & (store.kf_feat_pt[j] < 0)
+            idx, X, accept = _triangulate_pair_kernel(
+                jnp.asarray(store.kf_feat_xy[k]), jnp.asarray(store.kf_feat_desc[k]),
+                jnp.asarray(free1), jnp.asarray(store.kf_feat_sigma2[k]),
+                jnp.asarray(store.kf_feat_xy[j]), jnp.asarray(store.kf_feat_desc[j]),
+                jnp.asarray(free2), jnp.asarray(store.kf_feat_sigma2[j]),
+                jnp.asarray(K), jnp.asarray(R_cw1.astype(np.float32)),
+                jnp.asarray(t_cw1.astype(np.float32)),
+                jnp.asarray(R_cw2.astype(np.float32)),
+                jnp.asarray(t_cw2.astype(np.float32)),
+            )
+            idx = np.asarray(idx)
+            X = np.asarray(X)
+            accept = np.asarray(accept)
+            for f1 in np.nonzero(accept)[0]:
+                if store.kf_feat_pt[k, f1] >= 0:
+                    continue  # matched by an earlier neighbor this round
+                f2 = int(idx[f1])
+                if store.kf_feat_pt[j, f2] >= 0:
+                    continue
+                p = store.add_point(X[f1], store.kf_feat_desc[k, f1], k)
+                store.add_observation(p, k, int(f1))
+                store.add_observation(p, j, f2)
+                self.recent_points.append((p, self.kf_counter))
+                n_new += 1
+        if n_new:
+            pids = store.kf_feat_pt[k]
+            store.update_point_stats(np.unique(pids[pids >= 0]),
+                                     R_cb, t_cb, self.scale_factors)
+        return n_new
+
+    def _fuse_points_into_kf(self, pids, j: int, radius: float = 4.0):
+        """Project the given points into KF j; attach to free features or
+        merge with conflicting points (the Fuse primitive,
+        ORBMatcher.cpp:524-592)."""
+        store = self.store
+        if len(pids) == 0:
+            return 0
+        K = _K_of(self.problems.camera)
+        R_cb = np.asarray(self.calib.R_cb)
+        t_cb = np.asarray(self.calib.t_cb)
+        cap = store.n_feat
+        P = np.zeros((cap, 3), np.float32)
+        D = np.zeros((cap, 8), np.uint32)
+        V = np.zeros(cap, bool)
+        ids = np.full(cap, -1, np.int64)
+        n = min(len(pids), cap)
+        P[:n] = store.pt_xyz[pids[:n]]
+        D[:n] = store.pt_desc[pids[:n]]
+        V[:n] = store.pt_valid[pids[:n]]
+        ids[:n] = pids[:n]
+
+        R_cw, t_cw = store.kf_pose_cw(j, R_cb, t_cb)
+        idx = np.asarray(_fuse_project_kernel(
+            jnp.asarray(P), jnp.asarray(D), jnp.asarray(V),
+            jnp.asarray(store.kf_feat_xy[j]), jnp.asarray(store.kf_feat_desc[j]),
+            jnp.asarray(store.kf_feat_valid[j]), jnp.asarray(store.kf_feat_sigma2[j]),
+            jnp.asarray(K), jnp.asarray(R_cw.astype(np.float32)),
+            jnp.asarray(t_cw.astype(np.float32)), radius,
+        ))
+        n_fused = 0
+        for i in np.nonzero(idx >= 0)[0]:
+            p = int(ids[i])
+            if p < 0 or not store.pt_valid[p]:
+                continue
+            f = int(idx[i])
+            q = int(store.kf_feat_pt[j, f])
+            if q >= 0 and store.pt_valid[q]:
+                if q != p:
+                    # keep the better-observed point (MapPoint::replace)
+                    if store.pt_n_obs[q] >= store.pt_n_obs[p]:
+                        store.replace_point(p, q)
+                    else:
+                        store.replace_point(q, p)
+                    n_fused += 1
+            else:
+                # guard: never create a second observation of p in KF j
+                already = j in store.pt_obs_kf[p, : store.pt_n_obs[p]]
+                if not already:
+                    store.add_observation(p, j, f)
+                    n_fused += 1
+        return n_fused
+
+    def fuse_neighbors(self, k: int):
+        """Two-way fuse with covisible neighbors (searchInNeighbors,
+        LocalMapping.cpp:261-316): the new KF's points project into each
+        neighbor, AND the neighbors' points project back into the new KF.
+        The reverse direction is what re-attaches aged points that frame
+        tracking dropped, so local BA can repair their depths."""
+        store = self.store
+        neighbors = store.covisible_keyframes(k, top=10)
+
+        pids_k = store.kf_feat_pt[k]
+        pids_k = np.unique(pids_k[pids_k >= 0])
+        for j in neighbors:
+            self._fuse_points_into_kf(pids_k, j)
+
+        # reverse: union of neighbor points -> current KF
+        if neighbors:
+            neigh_pts = store.kf_feat_pt[np.asarray(neighbors)]
+            pids_n = np.unique(neigh_pts[neigh_pts >= 0])
+            pids_n = pids_n[store.pt_valid[pids_n]]
+            # only points not already attached to k
+            attached = set(pids_k.tolist())
+            pids_n = np.asarray([p for p in pids_n if p not in attached], np.int64)
+            self._fuse_points_into_kf(pids_n, k)
+
+    def _median_depth(self, k: int) -> float:
+        store = self.store
+        pids = store.kf_feat_pt[k]
+        pids = pids[pids >= 0]
+        if len(pids) < 5:
+            return -1.0
+        R_cw, t_cw = store.kf_pose_cw(
+            k, np.asarray(self.calib.R_cb), np.asarray(self.calib.t_cb))
+        z = (store.pt_xyz[pids] @ R_cw.T + t_cw)[:, 2]
+        return float(np.median(z))
+
+    # ------------------------------------------------------------------
+    # IMU initialization (LocalMapping.cpp:374-504)
+    # ------------------------------------------------------------------
+
+    def initialize_imu(self, prior_g=1e6, prior_a=1e12):
+        store = self.store
+        out = self.problems.inertial_optimize(store, prior_g=prior_g, prior_a=prior_a)
+        if out is None:
+            return False
+        scale = out["scale"]
+        if scale < 0.1:  # degenerate init (LocalMapping.cpp:435-439)
+            return False
+        # gauge rewrite: rotate gravity onto -z, scale to metric
+        # (Map::applyScaleRotation + Tracking::updateFrameIMU)
+        store.apply_scale_rotation(out["R_wg"].T, scale,
+                                   t_bc=np.asarray(self.calib.t_bc))
+        self.imu_state = IMU_INITIALIZED
+        self.imu_init_time = store.kf_time[store.keyframe_ids()[-1]]
+        self.tracking.imu_ready = True
+        self.problems.full_inertial_optimize(store)
+        self.tracking.update_after_gauge_change()
+        return True
+
+    def refine_gravity(self):
+        store = self.store
+        out = self.problems.gravity_optimize(store)
+        if out is not None:
+            store.apply_scale_rotation(out["R_wg"].T, 1.0,
+                                       t_bc=np.asarray(self.calib.t_bc))
+            self.tracking.update_after_gauge_change()
+        self.imu_state = IMU_FINISHED
+
+    # ------------------------------------------------------------------
+
+    def cull_keyframes(self, current: int):
+        """90% redundancy rule (KeyFrameCulling, LocalMapping.cpp:318-372).
+
+        Guards beyond the reference: never cull while the map is young
+        (< 8 KFs) and keep the 4 newest KFs — culling just-created KFs
+        destabilizes the local BA anchors and the preintegration chain."""
+        store = self.store
+        if store.n_keyframes() < 8:
+            return
+        candidates = store.recent_keyframes(self.window)[:-4]
+        order = store.keyframe_ids()
+        for k in candidates:
+            if k == current or k == order[0]:
+                continue
+            pids = store.kf_feat_pt[k]
+            fsel = np.nonzero(pids >= 0)[0]
+            if len(fsel) < 10:
+                continue
+            redundant = 0
+            for f in fsel:
+                p = pids[f]
+                if not store.pt_valid[p]:
+                    continue
+                lv = store.kf_feat_level[k, f]
+                n_better = 0
+                for i in range(store.pt_n_obs[p]):
+                    kj = store.pt_obs_kf[p, i]
+                    fj = store.pt_obs_feat[p, i]
+                    if kj == k or kj < 0:
+                        continue
+                    if store.kf_feat_level[kj, fj] <= lv + 1:
+                        n_better += 1
+                if n_better >= 3:
+                    redundant += 1
+            if redundant > 0.9 * len(fsel):
+                store.remove_keyframe(k)
+
+
+def _K_of(camera) -> np.ndarray:
+    return np.array(
+        [[float(camera.fx), 0.0, float(camera.cx)],
+         [0.0, float(camera.fy), float(camera.cy)],
+         [0.0, 0.0, 1.0]], np.float32,
+    )

@@ -1,0 +1,612 @@
+"""Tracking: the per-frame frontend state machine.
+
+TPU-native analog of the reference Tracking thread (modules/Frontend/
+Tracking.cpp:69-713): monocular initialization, IMU/motion-model pose
+prediction, coarse tracking (last frame / reference KF), local-map
+tracking, the 5-state machine (Tracking.h:20-26), and the keyframe policy.
+
+Host/device cut (SURVEY.md §7 hard-part (b)): all branching/state logic
+lives here in Python; every compute step — preintegration, projection,
+masked Hamming matching, pose optimization — is a fixed-shape jitted
+kernel. Matching candidates are padded to the frame feature capacity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..backend import residuals as res
+from ..backend.residuals import KfState
+from ..models.imu import GRAVITY_VALUE, ImuBuffer
+from ..ops import matching
+from ..ops.twoview import reconstruct_two_views
+from ..utils import lie
+from .frame import Frame
+
+G_W = np.array([0.0, 0.0, -GRAVITY_VALUE], np.float32)
+
+# state machine (Tracking.h:20-26)
+NO_IMAGE = 0
+NOT_INITIALIZED = 1
+OK = 2
+RECENTLY_LOST = 3
+LOST = 4
+
+
+class Tracking:
+    def __init__(self, camera, calib, store, problems, config=None):
+        self.camera = camera
+        self.calib = calib
+        self.store = store
+        self.problems = problems
+        cfg = config or {}
+        self.n_feat = cfg.get("n_features", 1024)
+        self.init_min_features = cfg.get("init_min_features", 200)
+        self.init_min_matches = cfg.get("init_min_matches", 80)
+        self.min_track_inliers = cfg.get("min_track_inliers", 12)
+        self.kf_tracked_ratio = cfg.get("kf_tracked_ratio", 0.75)
+        self.kf_max_interval = cfg.get("kf_max_interval", 0.5)
+        self.kf_min_interval = cfg.get("kf_min_interval", 0.1)
+        self.local_pt_cap = cfg.get("local_pt_cap", 4096)
+        self.lost_timeout = cfg.get("lost_timeout", 3.0)
+        self.scale_factors = cfg.get(
+            "scale_factors", np.array([1.2**i for i in range(8)], np.float32)
+        )
+
+        self.state = NO_IMAGE
+        self.imu_ready = False
+        self.last_frame: Frame | None = None
+        self.init_frame: Frame | None = None
+        self.ref_kf = -1
+        self.last_kf_time = -1e9
+        self.last_kf_id = -1
+        self.kf_imu_buffer = ImuBuffer()  # samples since last keyframe
+        self.velocity_rel = None  # motion model: T_last->T_cur in camera frame
+        self.lost_since = None
+        self.new_kf_callback = None  # set by System: receives new KF id
+        self.frames_since_kf = 0
+        self.kf_tracked_count = 1
+        self._imu_log: list = []  # rolling (t, gx..az) rows for init replay
+        self._ransac_key = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    # ------------------------------------------------------------------
+    # main entry
+    # ------------------------------------------------------------------
+
+    def track(self, frame: Frame, imu: np.ndarray | None):
+        """imu: [n, 7] rows (t, gx, gy, gz, ax, ay, az) since last frame."""
+        # 1. preintegration bookkeeping (Tracking.cpp:90-91)
+        frame_buf = ImuBuffer()
+        if imu is not None and len(imu) and self.last_frame is not None:
+            prev_t = self.last_frame.time
+            for row in imu:
+                dt = max(float(row[0]) - prev_t, 0.0)
+                prev_t = float(row[0])
+                frame_buf.add(row[1:4], row[4:7], dt)
+                self.kf_imu_buffer.add(row[1:4], row[4:7], dt)
+                self._imu_log.append(np.asarray(row, np.float64))
+            if len(self._imu_log) > 4000:
+                self._imu_log = self._imu_log[-4000:]
+        bg, ba = self._current_bias()
+        if frame_buf.n:
+            frame.pre_from_frame = frame_buf.integrate(bg, ba, self.calib)
+        if self.kf_imu_buffer.n and self.last_kf_id >= 0:
+            frame.pre_from_kf = self.kf_imu_buffer.integrate(bg, ba, self.calib)
+
+        if self.state in (NO_IMAGE, NOT_INITIALIZED):
+            self._initialize(frame)
+        elif self.state in (OK, RECENTLY_LOST):
+            self._track_frame(frame)
+        self.last_frame = frame
+        return self.state
+
+    def _current_bias(self):
+        if self.last_kf_id >= 0:
+            return self.store.kf_bg[self.last_kf_id], self.store.kf_ba[self.last_kf_id]
+        return np.zeros(3, np.float32), np.zeros(3, np.float32)
+
+    # ------------------------------------------------------------------
+    # monocular initialization (Tracking.cpp:590-712)
+    # ------------------------------------------------------------------
+
+    def _initialize(self, frame: Frame):
+        if frame.n_features < self.init_min_features:
+            self.init_frame = None
+            self.state = NOT_INITIALIZED
+            return
+        if self.init_frame is None:
+            self.init_frame = frame
+            self.state = NOT_INITIALIZED
+            return
+
+        f0, f1 = self.init_frame, frame
+        mask = matching.window_mask(
+            jnp.asarray(f0.xy), jnp.asarray(f1.xy),
+            jnp.asarray(f0.valid), jnp.asarray(f1.valid), radius=100.0,
+        )
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(f0.desc), jnp.asarray(f1.desc), mask,
+            angles_a=jnp.asarray(f0.angle), angles_b=jnp.asarray(f1.angle),
+            max_dist=matching.TH_LOW, ratio=0.9, use_rotation=True,
+        )
+        idx = np.asarray(idx)
+        matched = idx >= 0
+        n_matches = int(matched.sum())
+        if n_matches < self.init_min_matches:
+            self.init_frame = frame  # slide the reference forward
+            return
+
+        # matched pair arrays (padded to capacity)
+        N = len(f0.xy)
+        xy1 = np.zeros((N, 2), np.float32)
+        xy2 = np.zeros((N, 2), np.float32)
+        pair_valid = np.zeros(N, bool)
+        sel = np.nonzero(matched)[0]
+        xy1[: len(sel)] = f0.xy[sel]
+        xy2[: len(sel)] = f1.xy[idx[sel]]
+        pair_valid[: len(sel)] = True
+
+        K = np.array(
+            [[float(self.camera.fx), 0.0, float(self.camera.cx)],
+             [0.0, float(self.camera.fy), float(self.camera.cy)],
+             [0.0, 0.0, 1.0]], np.float32,
+        )
+        self._ransac_key, sub = jax.random.split(self._ransac_key)
+        out = reconstruct_two_views(
+            jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(pair_valid),
+            jnp.asarray(K), sub,
+        )
+        if not bool(out["success"]):
+            return
+        self._create_initial_map(f0, f1, sel, idx[sel], out)
+
+    def _create_initial_map(self, f0: Frame, f1: Frame, feat0, feat1, out):
+        """Two KFs + triangulated points -> initial_optimize -> depth-1 gauge
+        (Tracking.cpp:646-712)."""
+        store = self.store
+        R21 = np.asarray(out["R"])
+        t21 = np.asarray(out["t"])
+        good = np.asarray(out["good"])[: len(feat0)]
+        X = np.asarray(out["points"])[: len(feat0)]
+
+        R_cb = np.asarray(self.calib.R_cb)
+        t_cb = np.asarray(self.calib.t_cb)
+
+        def body_from_cam(R_cw, t_cw):
+            R_wb = R_cw.T @ R_cb
+            t_wb = R_cw.T @ (t_cb - t_cw)
+            return R_wb.astype(np.float32), t_wb.astype(np.float32)
+
+        R_wb0, t_wb0 = body_from_cam(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        R_wb1, t_wb1 = body_from_cam(R21, t21)
+
+        z3 = np.zeros(3, np.float32)
+        k0 = store.add_keyframe(f0.time, R_wb0, t_wb0, z3, z3, z3, _feat_dict(f0))
+        k1 = store.add_keyframe(f1.time, R_wb1, t_wb1, z3, z3, z3, _feat_dict(f1))
+
+        for i in np.nonzero(good)[0]:
+            p = store.add_point(X[i], f1.desc[feat1[i]], k0)
+            store.add_observation(p, k0, int(feat0[i]))
+            store.add_observation(p, k1, int(feat1[i]))
+            f1.pt_ids[feat1[i]] = p
+        store.update_point_stats(
+            store.kf_feat_pt[k1][store.kf_feat_pt[k1] >= 0],
+            R_cb, t_cb, self.scale_factors,
+        )
+
+        self.problems.initial_optimize(store, [k0, k1])
+
+        # gauge: median scene depth of KF0 -> 1 (Tracking.cpp:682-688)
+        pids = store.kf_feat_pt[k0]
+        pids = pids[pids >= 0]
+        # depth in camera-0 frame
+        R_cw0 = R_cb @ store.kf_R[k0].T
+        t_cw0 = t_cb - R_cw0 @ store.kf_t[k0]
+        z = (store.pt_xyz[pids] @ R_cw0.T + t_cw0)[:, 2]
+        med = float(np.median(z))
+        if med < 1e-6 or (z > 0).sum() < 30:
+            store.reset()
+            self.init_frame = None
+            return
+        inv = 1.0 / med
+        # scale CAMERA CENTERS, not body origins: the camera-to-IMU lever arm
+        # is metric and must not scale (t_wb' = s t_wb + (s-1) R_wb t_bc)
+        t_bc = np.asarray(self.calib.t_bc)
+        for kk in (k0, k1):
+            lever = store.kf_R[kk] @ t_bc
+            store.kf_t[kk] = inv * store.kf_t[kk] + (inv - 1.0) * lever
+        store.pt_xyz[pids] *= inv
+        store.pt_min_dist[pids] *= inv
+        store.pt_max_dist[pids] *= inv
+
+        # frame states
+        f1.state = KfState(
+            jnp.asarray(store.kf_R[k1]), jnp.asarray(store.kf_t[k1]),
+            jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+        )
+        f1.ref_kf = k1
+        f1.n_tracked = int(good.sum())
+        self.ref_kf = k1
+        self.last_kf_id = k1
+        self.last_kf_time = f1.time
+        self.kf_tracked_count = f1.n_tracked
+        # rebuild the k0 -> k1 IMU window from the rolling sample log
+        buf01 = ImuBuffer()
+        prev_t = f0.time
+        for row in self._imu_log:
+            if f0.time < row[0] <= f1.time + 1e-9:
+                buf01.add(row[1:4], row[4:7], max(float(row[0]) - prev_t, 0.0))
+                prev_t = float(row[0])
+        store.kf_imu[k0] = buf01
+        self.kf_imu_buffer = ImuBuffer()
+        store.kf_imu[k1] = self.kf_imu_buffer
+        self.state = OK
+        self.frames_since_kf = 0
+        if self.new_kf_callback:
+            self.new_kf_callback(k0, initial=True)
+            self.new_kf_callback(k1, initial=True)
+
+    # ------------------------------------------------------------------
+    # per-frame tracking (Tracking.cpp:96-174)
+    # ------------------------------------------------------------------
+
+    def _predict_state(self, frame: Frame) -> KfState:
+        """IMU prediction from last KF (Tracking.cpp:211-243) or constant
+        camera-motion model."""
+        if self.imu_ready and frame.pre_from_kf is not None and self.last_kf_id >= 0:
+            k = self.last_kf_id
+            pre = frame.pre_from_kf
+            bg = jnp.asarray(self.store.kf_bg[k])
+            ba = jnp.asarray(self.store.kf_ba[k])
+            dR = np.asarray(pre.delta_rotation(bg))
+            dV = np.asarray(pre.delta_velocity(bg, ba))
+            dP = np.asarray(pre.delta_position(bg, ba))
+            dt = float(pre.dt)
+            R0, t0, v0 = self.store.kf_R[k], self.store.kf_t[k], self.store.kf_v[k]
+            R = R0 @ dR
+            v = v0 + G_W * dt + R0 @ dV
+            t = t0 + v0 * dt + 0.5 * G_W * dt * dt + R0 @ dP
+            return KfState(jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
+                           bg, ba)
+        # constant-velocity motion model on the body pose
+        last = self.last_frame
+        if last is not None and last.state is not None and self.velocity_rel is not None:
+            R_rel, t_rel = self.velocity_rel
+            R = np.asarray(last.state.R_wb) @ R_rel
+            t = np.asarray(last.state.t_wb) + np.asarray(last.state.R_wb) @ t_rel
+            return KfState(jnp.asarray(R.astype(np.float32)),
+                           jnp.asarray(t.astype(np.float32)),
+                           last.state.v, last.state.bg, last.state.ba)
+        return last.state if last is not None and last.state is not None else KfState.zeros()
+
+    def _track_frame(self, frame: Frame):
+        frame.state = self._predict_state(frame)
+        frame.ref_kf = self.ref_kf
+
+        ok = False
+        if self.state == OK:
+            if self.last_frame is not None and self.last_frame.n_tracked > 0:
+                ok = self._match_against_last(frame)
+            if not ok:
+                ok = self._match_against_ref_kf(frame)
+        else:  # RECENTLY_LOST: IMU-only prediction then local map
+            ok = self.imu_ready
+
+        # the local map is the self-healing stage: try it even when the
+        # coarse stages failed (the wide-radius projection search can
+        # re-capture the map from the predicted pose alone)
+        ok = self._track_local_map(frame) or (ok and frame.n_tracked >= self.min_track_inliers)
+
+        if ok:
+            self.state = OK
+            self.lost_since = None
+            # update the camera-frame motion model (Tracking.cpp:131-136)
+            if self.last_frame is not None and self.last_frame.state is not None:
+                R_last = np.asarray(self.last_frame.state.R_wb)
+                t_last = np.asarray(self.last_frame.state.t_wb)
+                R_cur = np.asarray(frame.state.R_wb)
+                t_cur = np.asarray(frame.state.t_wb)
+                self.velocity_rel = (
+                    R_last.T @ R_cur,
+                    R_last.T @ (t_cur - t_last),
+                )
+            self.frames_since_kf += 1
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+        else:
+            if self.state == OK:
+                self.state = RECENTLY_LOST if self.imu_ready else LOST
+                self.lost_since = frame.time
+            elif self.state == RECENTLY_LOST:
+                if frame.time - (self.lost_since or frame.time) > self.lost_timeout:
+                    self.state = LOST
+            frame.n_tracked = 0
+
+    # -- matching stages ------------------------------------------------
+
+    def _candidate_points(self, pt_ids):
+        """Pad candidate point data to the feature capacity."""
+        N = self.n_feat
+        sel = pt_ids[pt_ids >= 0][:N]
+        xyz = np.zeros((N, 3), np.float32)
+        desc = np.zeros((N, 8), np.uint32)
+        valid = np.zeros(N, bool)
+        n = len(sel)
+        xyz[:n] = self.store.pt_xyz[sel]
+        desc[:n] = self.store.pt_desc[sel]
+        valid[:n] = self.store.pt_valid[sel]
+        ids = np.full(N, -1, np.int64)
+        ids[:n] = sel
+        return xyz, desc, valid, ids
+
+    def _project(self, state: KfState, xyz):
+        s = state
+        R_cw, t_cw = res.camera_pose(s, self.calib.R_cb, self.calib.t_cb)
+        pc = jnp.asarray(xyz) @ jnp.asarray(R_cw).T + jnp.asarray(t_cw)
+        uv = self.camera.project(pc)
+        ok = (pc[:, 2] > 0.05) & self.camera.is_in_image(uv)
+        return np.asarray(uv), np.asarray(ok)
+
+    def _match_points_to_frame(self, frame: Frame, xyz, desc, valid, ids,
+                               radius, max_dist, ratio=0.9):
+        uv, ok = self._project(frame.state, xyz)
+        mask = matching.projection_mask(
+            jnp.asarray(uv), jnp.asarray(ok & valid), jnp.asarray(frame.xy),
+            jnp.asarray(frame.valid), jnp.asarray(radius, jnp.float32),
+        )
+        idx, dist = matching.match_descriptors(
+            jnp.asarray(desc), jnp.asarray(frame.desc), mask,
+            max_dist=max_dist, ratio=ratio, use_rotation=False,
+        )
+        idx = np.asarray(idx)
+        frame.pt_ids[:] = -1
+        hit = idx >= 0
+        frame.pt_ids[idx[hit]] = ids[hit]
+        return int(hit.sum())
+
+    def _match_against_last(self, frame: Frame) -> bool:
+        """trackLastFrame (Tracking.cpp:284-343): project last frame's points.
+        On a weak first pass the search radius is doubled (the reference's
+        2x-radius retry in SearchByProjection)."""
+        xyz, desc, valid, ids = self._candidate_points(self.last_frame.pt_ids)
+        radius = np.full(self.n_feat, 15.0, np.float32)
+        n = self._match_points_to_frame(frame, xyz, desc, valid, ids, radius,
+                                        max_dist=matching.TH_HIGH)
+        if n < 2 * self.min_track_inliers:
+            n = self._match_points_to_frame(frame, xyz, desc, valid, ids,
+                                            radius * 2.0, max_dist=matching.TH_HIGH)
+        if n < self.min_track_inliers:
+            return False
+        return self._optimize_frame_pose(frame) >= self.min_track_inliers
+
+    def _match_against_ref_kf(self, frame: Frame) -> bool:
+        """trackReferenceKeyFrame (Tracking.cpp:255-282): descriptor match
+        vs the reference KF's mapped features (dense analog of SearchByBow)."""
+        k = self.ref_kf
+        if k < 0:
+            return False
+        feat_pt = self.store.kf_feat_pt[k]
+        xyz, desc, valid, ids = self._candidate_points(feat_pt)
+        # no spatial gate — pure descriptor matching with stricter ratio
+        mask = jnp.asarray(valid)[:, None] & jnp.asarray(frame.valid)[None, :]
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(desc), jnp.asarray(frame.desc), mask,
+            max_dist=matching.TH_LOW, ratio=0.75, use_rotation=False,
+        )
+        idx = np.asarray(idx)
+        frame.pt_ids[:] = -1
+        hit = idx >= 0
+        frame.pt_ids[idx[hit]] = ids[hit]
+        if int(hit.sum()) < self.min_track_inliers:
+            return False
+        return self._optimize_frame_pose(frame) >= self.min_track_inliers
+
+    def _harvest_local_points(self, frame: Frame):
+        """updateLocalKeyFrames/Points (Tracking.cpp:429-537): points of the
+        covisible neighborhood of the reference KF + recent KFs."""
+        store = self.store
+        kfs = set(store.recent_keyframes(10))
+        if self.ref_kf >= 0:
+            kfs.add(self.ref_kf)
+            for j in store.covisible_keyframes(self.ref_kf, top=20):
+                kfs.add(j)
+        pid_set = store.kf_feat_pt[np.asarray(sorted(kfs), np.int32)]
+        pids = np.unique(pid_set[pid_set >= 0])
+        pids = pids[store.pt_valid[pids]]
+        if len(pids) > self.local_pt_cap:
+            order = np.argsort(-store.pt_n_obs[pids])
+            pids = pids[order[: self.local_pt_cap]]
+        return pids
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """trackLocalMap (Tracking.cpp:345-427)."""
+        store = self.store
+        pids = self._harvest_local_points(frame)
+        P = self.local_pt_cap
+        xyz = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        valid = np.zeros(P, bool)
+        ids = np.full(P, -1, np.int64)
+        n = len(pids)
+        xyz[:n] = store.pt_xyz[pids]
+        desc[:n] = store.pt_desc[pids]
+        valid[:n] = True
+        ids[:n] = pids
+
+        uv, ok = self._project(frame.state, xyz)
+        # scale-band radius: predicted level from distance (MapPoint scale
+        # invariance band, MapPoint.cpp:159-170)
+        center = np.asarray(frame.state.t_wb) + np.asarray(frame.state.R_wb) @ (
+            -np.asarray(self.calib.R_cb).T @ np.asarray(self.calib.t_cb)
+        )
+        dist = np.linalg.norm(xyz - center, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(dist > 1e-6, store.pt_max_dist[np.maximum(ids, 0)] / np.maximum(dist, 1e-6), 1.0)
+        level_pred = np.clip(
+            np.round(np.log(np.maximum(ratio, 1e-3)) / np.log(1.2)), 0,
+            len(self.scale_factors) - 1,
+        ).astype(np.int32)
+        # generous base radius: the local-map search is the tracker's
+        # self-healing loop — it must re-capture points even when the pose
+        # has drifted a few pixels (a tight radius lets the matched subset
+        # cluster and the pose random-walk away from the rest of the map)
+        radius = np.maximum(12.0, 4.0 * self.scale_factors[level_pred]).astype(np.float32)
+
+        def run_local_match(rad):
+            mask = matching.projection_mask(
+                jnp.asarray(uv), jnp.asarray(ok & valid), jnp.asarray(frame.xy),
+                jnp.asarray(frame.valid), jnp.asarray(rad),
+            )
+            out_idx, _ = matching.match_descriptors(
+                jnp.asarray(desc), jnp.asarray(frame.desc), mask,
+                max_dist=matching.TH_HIGH, ratio=0.8, use_rotation=False,
+            )
+            return np.asarray(out_idx)
+
+        idx = run_local_match(radius)
+        # wide-radius retry when the map re-capture rate looks weak
+        n_candidates = int((ok & valid).sum())
+        if (idx >= 0).sum() < max(2 * self.min_track_inliers, n_candidates // 2):
+            idx = run_local_match(radius * 2.5)
+        hit = idx >= 0
+        # merge with coarse matches (keep coarse where local map disagrees)
+        stats_vis = ids[hit & (ids >= 0)]
+        store.pt_visible[stats_vis] += 1
+        frame.pt_ids[idx[hit]] = ids[hit]
+        # dedupe: a point must be assigned to at most ONE feature, else the
+        # keyframe would get two observations of it and BA tears it apart
+        assigned = frame.pt_ids
+        sel = np.nonzero(assigned >= 0)[0]
+        _, first = np.unique(assigned[sel], return_index=True)
+        dup = np.setdiff1d(np.arange(len(sel)), first)
+        assigned[sel[dup]] = -1
+
+        n_inliers = self._optimize_frame_pose(frame, full=self.imu_ready)
+        tracked = frame.pt_ids >= 0
+        store.pt_found[frame.pt_ids[tracked]] += 1
+        frame.n_tracked = n_inliers
+        return n_inliers >= self.min_track_inliers
+
+    def _optimize_frame_pose(self, frame: Frame, full: bool = False) -> int:
+        """poseOptimize / poseFullOptimize dispatch."""
+        N = self.n_feat
+        sel = np.nonzero(frame.pt_ids >= 0)[0]
+        pts = np.zeros((N, 3), np.float32)
+        uv = np.zeros((N, 2), np.float32)
+        inv_s2 = np.ones(N, np.float32)
+        valid = np.zeros(N, bool)
+        n = len(sel)
+        pts[:n] = self.store.pt_xyz[frame.pt_ids[sel]]
+        uv[:n] = frame.xy[sel]
+        inv_s2[:n] = 1.0 / frame.sigma2[sel]
+        valid[:n] = True
+
+        if full and frame.pre_from_kf is not None and self.last_kf_id >= 0:
+            k = self.last_kf_id
+            last_state = KfState(
+                jnp.asarray(self.store.kf_R[k]), jnp.asarray(self.store.kf_t[k]),
+                jnp.asarray(self.store.kf_v[k]), jnp.asarray(self.store.kf_bg[k]),
+                jnp.asarray(self.store.kf_ba[k]),
+            )
+            state, inlier = self.problems.pose_full_optimize(
+                frame.state, pts, uv, inv_s2, valid, last_state, frame.pre_from_kf,
+            )
+        else:
+            state, inlier = self.problems.pose_optimize(
+                frame.state, pts, uv, inv_s2, valid)
+        frame.state = state
+        # outliers lose their association (Tracking.cpp poseOptimize usage)
+        out = sel[~inlier[:n]]
+        frame.pt_ids[out] = -1
+        return int(inlier[:n].sum())
+
+    # ------------------------------------------------------------------
+    # keyframe policy (Tracking.cpp:539-588)
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        dt = frame.time - self.last_kf_time
+        if dt < self.kf_min_interval:
+            return False
+        if frame.n_tracked < self.min_track_inliers:
+            return False
+        weak = frame.n_tracked < self.kf_tracked_ratio * max(self.kf_tracked_count, 1)
+        timeout = dt >= self.kf_max_interval
+        return weak or timeout
+
+    def _create_keyframe(self, frame: Frame):
+        store = self.store
+        st = frame.state
+        # velocity/bias prior information from the preintegration covariance
+        # (KeyFrame.cpp:86-98)
+        prior = np.zeros(9, np.float32)
+        if frame.pre_from_kf is not None and self.imu_ready:
+            C = np.asarray(frame.pre_from_kf.C)
+            v_sig = np.sqrt(np.maximum(np.diagonal(C)[3:6], 1e-12))
+            prior[0:3] = 1.0 / np.maximum(v_sig, 1e-6)
+            prior[3:6] = 1e2  # gyro-bias prior
+            prior[6:9] = 1e1  # acc-bias prior
+        k = store.add_keyframe(
+            frame.time, np.asarray(st.R_wb), np.asarray(st.t_wb),
+            np.asarray(st.v), np.asarray(st.bg), np.asarray(st.ba),
+            _feat_dict(frame), prior_inv_sigma=prior,
+        )
+        for f in np.nonzero(frame.pt_ids >= 0)[0]:
+            store.add_observation(int(frame.pt_ids[f]), k, int(f))
+        self.ref_kf = k
+        frame.ref_kf = k
+        self.last_kf_id = k
+        self.last_kf_time = frame.time
+        self.kf_tracked_count = frame.n_tracked
+        self.frames_since_kf = 0
+        self.kf_imu_buffer = ImuBuffer()
+        store.kf_imu[k] = self.kf_imu_buffer
+        if self.new_kf_callback:
+            self.new_kf_callback(k)
+            # synchronous mapper may have bundle-adjusted the map (including
+            # this KF): re-sync the frame state so the next prediction starts
+            # from the refined pose (the reference tracker re-reads the KF
+            # pose under map_update_mutex for the same reason)
+            frame.state = KfState(
+                jnp.asarray(store.kf_R[k]), jnp.asarray(store.kf_t[k]),
+                jnp.asarray(store.kf_v[k]), jnp.asarray(store.kf_bg[k]),
+                jnp.asarray(store.kf_ba[k]),
+            )
+
+    # ------------------------------------------------------------------
+
+    def update_after_gauge_change(self):
+        """Called after the mapper rewrites the map gauge (inertial init):
+        refresh the cached frame state from the newest KF (the reference's
+        Tracking::updateFrameIMU analog, Tracking.cpp via LocalMapping.cpp:441-446)."""
+        if self.last_frame is None or self.last_kf_id < 0:
+            return
+        k = self.last_kf_id
+        self.last_frame.state = KfState(
+            jnp.asarray(self.store.kf_R[k]), jnp.asarray(self.store.kf_t[k]),
+            jnp.asarray(self.store.kf_v[k]), jnp.asarray(self.store.kf_bg[k]),
+            jnp.asarray(self.store.kf_ba[k]),
+        )
+        self.velocity_rel = None
+
+    def reset(self):
+        self.state = NO_IMAGE
+        self.imu_ready = False
+        self.last_frame = None
+        self.init_frame = None
+        self.ref_kf = -1
+        self.last_kf_id = -1
+        self.last_kf_time = -1e9
+        self.kf_imu_buffer = ImuBuffer()
+        self.velocity_rel = None
+        self.lost_since = None
+        self.frames_since_kf = 0
+
+
+def _feat_dict(frame: Frame) -> dict:
+    return {
+        "xy": frame.xy, "level": frame.level, "angle": frame.angle,
+        "desc": frame.desc, "valid": frame.valid, "sigma2": frame.sigma2,
+    }

@@ -114,6 +114,62 @@ class Trajectory:
 
 
 @dataclass
+class HoverTrajectory(Trajectory):
+    """Quasi-stationary oscillation (EuRoC-MH-style hover): bounded view
+    direction (small yaw wiggle), strong accelerations for IMU
+    observability. Overrides the circle trajectory analytically."""
+
+    amp: float = 0.8
+    w1: float = 1.3
+    w2: float = 0.9
+    w3: float = 1.7
+    yaw_amp: float = 0.25
+    yaw_w: float = 0.7
+
+    def pos(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [
+                self.radius + self.amp * np.sin(self.w1 * t),
+                0.7 * self.amp * np.sin(self.w2 * t),
+                0.4 * self.amp * np.sin(self.w3 * t),
+            ],
+            axis=-1,
+        )
+
+    def vel(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [
+                self.amp * self.w1 * np.cos(self.w1 * t),
+                0.7 * self.amp * self.w2 * np.cos(self.w2 * t),
+                0.4 * self.amp * self.w3 * np.cos(self.w3 * t),
+            ],
+            axis=-1,
+        )
+
+    def acc(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [
+                -self.amp * self.w1**2 * np.sin(self.w1 * t),
+                -0.7 * self.amp * self.w2**2 * np.sin(self.w2 * t),
+                -0.4 * self.amp * self.w3**2 * np.sin(self.w3 * t),
+            ],
+            axis=-1,
+        )
+
+    def yaw(self, t):
+        return self.yaw_amp * np.sin(self.yaw_w * np.asarray(t, np.float64))
+
+    def omega_body(self, t):
+        t = np.asarray(t, np.float64)
+        out = np.zeros(t.shape + (3,))
+        out[..., 2] = self.yaw_amp * self.yaw_w * np.cos(self.yaw_w * t)
+        return out
+
+
+@dataclass
 class World:
     """Landmark field + feature observation generator."""
 
@@ -162,8 +218,9 @@ class World:
         vis = (pc[:, 2] > min_depth) & in_img
         ids = np.nonzero(vis)[0]
         if len(ids) > max_kps:
-            ids = rng.choice(ids, max_kps, replace=False)
-            ids.sort()
+            # deterministic subset by landmark id: consecutive frames must see
+            # (mostly) the SAME landmarks, like a real feature extractor does
+            ids = ids[:max_kps]
         k = len(ids)
 
         out_uv = np.zeros((max_kps, 2), np.float32)

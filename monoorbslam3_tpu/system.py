@@ -1,0 +1,202 @@
+"""System façade: construction, per-frame dispatch, save/export, reset.
+
+TPU-native analog of the reference System (modules/System.h:29-72,
+System.cpp:19-228): builds the camera/IMU calibration, map store, solver
+façade, tracking and local mapping, dispatches `track`, and exports the
+keyframe trajectory (TUM format), per-KF velocity+bias, PCD point cloud,
+and per-KF sparse depth (System.cpp:125-222).
+
+The reference's mapper runs on its own thread fed by a mutex-guarded KF
+queue (System.cpp:55, LocalMapping.cpp:589-606). Here the default is a
+deterministic synchronous mapper step per keyframe; `async_mapper=True`
+reproduces the pipelined mode with a host thread + queue."""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from .backend.problems import Problems
+from .frontend.frame import features_from_extractor, make_frame
+from .frontend.local_mapping import LocalMapping
+from .frontend import tracking as tracking_mod
+from .frontend.tracking import Tracking
+from .models.imu import ImuCalib
+from .models.map_state import MapStore
+from .utils import lie
+
+import jax.numpy as jnp
+
+
+class System:
+    def __init__(self, camera, calib: ImuCalib, config=None, extractor=None,
+                 async_mapper: bool = False):
+        cfg = dict(config or {})
+        self.camera = camera
+        self.calib = calib
+        self.extractor = extractor
+        n_feat = cfg.get("n_features", extractor.n_features if extractor else 1024)
+        cfg["n_features"] = n_feat
+        self.store = MapStore(
+            max_kf=cfg.get("max_kf", 512), max_pt=cfg.get("max_pt", 32768),
+            n_feat=n_feat,
+        )
+        self.problems = Problems(camera, calib,
+                                 local_k=cfg.get("local_k", 32),
+                                 local_p=cfg.get("local_p", 2048),
+                                 local_o=cfg.get("local_o", 6144))
+        if extractor is not None:
+            cfg.setdefault("scale_factors", extractor.scale_factors)
+        self.tracking = Tracking(camera, calib, self.store, self.problems, cfg)
+        self.mapper = LocalMapping(self.store, self.problems, calib, self.tracking, cfg)
+        self.tracking.new_kf_callback = self._on_new_kf
+
+        self._async = async_mapper
+        self._queue: queue.Queue | None = None
+        self._thread = None
+        self._stop = False
+        self._pending_reset = False
+        if async_mapper:
+            self._queue = queue.Queue()
+            self._thread = threading.Thread(target=self._mapper_loop, daemon=True)
+            self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    def _on_new_kf(self, k: int, initial: bool = False):
+        if self._async:
+            self._queue.put((k, initial))
+        else:
+            self.mapper.process(k, initial=initial)
+
+    def _mapper_loop(self):
+        while not self._stop:
+            try:
+                k, initial = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            self.mapper.process(k, initial=initial)
+
+    # ------------------------------------------------------------------
+
+    def track(self, t: float, image, imu=None) -> int:
+        """Full path: ORB extraction on the image, then tracking
+        (System::Track, System.cpp:86-106)."""
+        if self._pending_reset:
+            self._do_reset()
+        assert self.extractor is not None, "System built without an extractor"
+        out = self.extractor(image)
+        feats = features_from_extractor(out, self.camera, self.extractor.scale_factors)
+        frame = make_frame(t, feats)
+        state = self.tracking.track(frame, imu)
+        if state == tracking_mod.LOST:
+            self.request_reset()
+        return state
+
+    def track_features(self, t: float, feats: dict, imu=None) -> int:
+        """Feature-injection path (deterministic tests / non-image sensors)."""
+        if self._pending_reset:
+            self._do_reset()
+        frame = make_frame(t, feats)
+        state = self.tracking.track(frame, imu)
+        if state == tracking_mod.LOST:
+            self.request_reset()
+        return state
+
+    def get_tracking_state(self) -> int:
+        return self.tracking.state
+
+    # ------------------------------------------------------------------
+    # reset / shutdown (System.cpp:76-123)
+    # ------------------------------------------------------------------
+
+    def request_reset(self):
+        self._pending_reset = True
+
+    def _do_reset(self):
+        if self._async:
+            while not self._queue.empty():
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    break
+        self.store.reset()
+        self.tracking.reset()
+        self.mapper.imu_state = 0
+        self.mapper.imu_init_time = None
+        self.mapper.recent_points = []
+        self.mapper.kf_counter = 0
+        self._pending_reset = False
+
+    def shutdown(self):
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+    # ------------------------------------------------------------------
+    # exports (System.cpp:125-222)
+    # ------------------------------------------------------------------
+
+    def keyframe_trajectory(self):
+        """Returns (times [K], t_wc [K,3], q_wc [K,4] (w,x,y,z)) — camera
+        poses in TUM convention."""
+        ids = self.store.keyframe_ids()
+        R_cb = np.asarray(self.calib.R_cb)
+        t_cb = np.asarray(self.calib.t_cb)
+        times, ts, qs = [], [], []
+        for k in ids:
+            R_cw, t_cw = self.store.kf_pose_cw(k, R_cb, t_cb)
+            R_wc = R_cw.T
+            t_wc = -R_wc @ t_cw
+            q = np.asarray(lie.rot_to_quat(jnp.asarray(R_wc, jnp.float32)))
+            times.append(self.store.kf_time[k])
+            ts.append(t_wc)
+            qs.append(q)
+        return np.asarray(times), np.asarray(ts), np.asarray(qs)
+
+    def save_keyframe_trajectory(self, path: str):
+        """TUM format: t x y z qx qy qz qw (System.cpp:125-144)."""
+        times, ts, qs = self.keyframe_trajectory()
+        with open(path, "w") as f:
+            for t, p, q in zip(times, ts, qs):
+                f.write(f"{t:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    def save_velocity_and_bias(self, path: str):
+        """Per-KF velocity + bias (System.cpp:146-165)."""
+        ids = self.store.keyframe_ids()
+        with open(path, "w") as f:
+            for k in ids:
+                v, bg, ba = self.store.kf_v[k], self.store.kf_bg[k], self.store.kf_ba[k]
+                f.write(f"{self.store.kf_time[k]:.6f} "
+                        + " ".join(f"{x:.7f}" for x in (*v, *bg, *ba)) + "\n")
+
+    def save_point_cloud(self, path: str):
+        """ASCII PCD export (System.cpp:167-194)."""
+        pts = self.store.pt_xyz[self.store.pt_valid]
+        with open(path, "w") as f:
+            f.write("# .PCD v0.7 - Point Cloud Data file format\n")
+            f.write("VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n")
+            f.write(f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n")
+            f.write(f"POINTS {len(pts)}\nDATA ascii\n")
+            for p in pts:
+                f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+
+    def save_keyframe_depth(self, path: str):
+        """Per-KF sparse depth: kf_time, then (u, v, depth) of its tracked
+        points (System.cpp:196-222)."""
+        R_cb = np.asarray(self.calib.R_cb)
+        t_cb = np.asarray(self.calib.t_cb)
+        with open(path, "w") as f:
+            for k in self.store.keyframe_ids():
+                pids = self.store.kf_feat_pt[k]
+                fsel = np.nonzero(pids >= 0)[0]
+                R_cw, t_cw = self.store.kf_pose_cw(k, R_cb, t_cb)
+                f.write(f"{self.store.kf_time[k]:.6f} {len(fsel)}\n")
+                for ff in fsel:
+                    p = pids[ff]
+                    z = (R_cw @ self.store.pt_xyz[p] + t_cw)[2]
+                    uv = self.store.kf_feat_xy[k, ff]
+                    f.write(f"{uv[0]:.2f} {uv[1]:.2f} {z:.5f}\n")
