@@ -1,0 +1,144 @@
+"""Benchmark: local-BA iteration throughput on the current default device.
+
+Prints ONE JSON line:
+  {"metric": "local_ba_iters_per_s", "value": N, "unit": "iters/s",
+   "vs_baseline": R, ...}
+
+The problem matches the reference's local-BA shape (Optimize.cpp:1064-1310):
+a sliding window of 24 optimized + 8 fixed keyframes, ~2k landmarks, ~6k
+observations, inertial+bias-walk edges between consecutive KFs — the
+hottest mapper loop (SURVEY.md §3.3). One "iteration" = full relinearize +
+Schur landmark elimination + reduced-camera solve + retraction, i.e. the
+same work as one g2o LM iteration.
+
+Baseline: single-thread g2o on a desktop CPU runs this window at roughly
+25-50 LM iterations/s (sparse Schur, ~6k reprojection edges); we use
+40 iters/s as the reference point (BASELINE.md target: >= 10x g2o).
+"""
+
+import json
+import time
+
+import numpy as np
+
+G2O_BASELINE_ITERS_PER_S = 40.0
+
+
+def build_problem(n_kf=32, n_fixed=8, n_pts=2048, obs_per_kf=192, seed=0):
+    import jax.numpy as jnp
+
+    from monoorbslam3_tpu.backend.residuals import KfState, PreintEdge
+    from monoorbslam3_tpu.backend.solver import BAProblem
+    from monoorbslam3_tpu.models.camera import Pinhole
+    from monoorbslam3_tpu.utils import lie
+
+    rng = np.random.default_rng(seed)
+    cam = Pinhole.create(fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+                         width=752, height=480)
+
+    # keyframes along an arc, landmarks in front
+    ts = np.cumsum(rng.uniform(0.2, 0.3, n_kf))
+    R_list = [np.asarray(lie.exp_so3(jnp.asarray([0.0, 0.02 * k, 0.0], jnp.float32)))
+              for k in range(n_kf)]
+    t_list = [np.array([0.3 * k, 0.02 * k, 0.05 * np.sin(k)], np.float32)
+              for k in range(n_kf)]
+    kf_gt = KfState(
+        jnp.asarray(np.stack(R_list)), jnp.asarray(np.stack(t_list)),
+        jnp.asarray(rng.normal(0, 0.5, (n_kf, 3)).astype(np.float32)),
+        jnp.zeros((n_kf, 3)), jnp.zeros((n_kf, 3)),
+    )
+    pts = np.stack([
+        rng.uniform(-6, 6 + 0.3 * n_kf, n_pts),
+        rng.uniform(-4, 4, n_pts),
+        rng.uniform(6, 14, n_pts),
+    ], -1).astype(np.float32)
+
+    O = n_kf * obs_per_kf
+    obs_kf = np.repeat(np.arange(n_kf, dtype=np.int32), obs_per_kf)
+    obs_pt = rng.integers(0, n_pts, O).astype(np.int32)
+
+    from monoorbslam3_tpu.backend import residuals as res
+    R_cb = jnp.eye(3)
+    t_cb = jnp.zeros(3)
+    s_o = jax_tree_gather(kf_gt, obs_kf)
+    uv = np.asarray(res.reprojection_residual(
+        s_o, jnp.asarray(pts[obs_pt]), jnp.zeros((O, 2), jnp.float32),
+        cam, R_cb, t_cb))
+    uv = uv + rng.normal(0, 0.4, uv.shape).astype(np.float32)
+    valid = np.isfinite(uv).all(1) & (np.abs(uv[:, 0] - 376) < 2000)
+
+    dof = np.zeros((n_kf, 15), np.float32)
+    dof[:-n_fixed] = 1.0
+
+    E = n_kf - 1
+    eye9 = jnp.broadcast_to(jnp.eye(9), (E, 9, 9))
+    edge = PreintEdge(
+        dR=jnp.broadcast_to(jnp.eye(3), (E, 3, 3)), dV=jnp.zeros((E, 3)),
+        dP=jnp.zeros((E, 3)), JRg=jnp.zeros((E, 3, 3)), JVg=jnp.zeros((E, 3, 3)),
+        JVa=jnp.zeros((E, 3, 3)), JPg=jnp.zeros((E, 3, 3)), JPa=jnp.zeros((E, 3, 3)),
+        bg0=jnp.zeros((E, 3)), ba0=jnp.zeros((E, 3)), dt=jnp.full(E, 0.25),
+        L_inv=eye9,
+    )
+    # perturb the optimized states so iterations do real work
+    dx = rng.normal(0, 0.01, (n_kf, 15)).astype(np.float32) * dof
+    kf0 = res.retract_kf(kf_gt, jnp.asarray(dx))
+
+    problem = BAProblem(
+        kf=kf0, kf_dof=jnp.asarray(dof),
+        points=jnp.asarray(pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)),
+        pt_active=jnp.ones(n_pts, bool),
+        obs_kf=jnp.asarray(obs_kf), obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv.astype(np.float32)),
+        obs_inv_sigma2=jnp.ones(O), obs_valid=jnp.asarray(valid),
+        ie_i=jnp.arange(E, dtype=jnp.int32),
+        ie_j=jnp.arange(1, E + 1, dtype=jnp.int32),
+        ie_edge=edge, ie_valid=jnp.ones(E, bool),
+        walk_inv_sigma=jnp.full((E, 6), 30.0), walk_valid=jnp.ones(E, bool),
+        prior_inv_sigma=jnp.zeros((n_kf, 15)), prior_ref=kf0,
+    )
+    return problem, cam
+
+
+def jax_tree_gather(kf, idx):
+    import jax
+    return jax.tree_util.tree_map(lambda a: a[idx], kf)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from monoorbslam3_tpu.backend.solver import schur_ba
+
+    problem, cam = build_problem()
+    R_cb = jnp.eye(3)
+    t_cb = jnp.zeros(3)
+    n_iters = 10
+
+    # compile + warm up
+    kf, pts, info = schur_ba(problem, cam, R_cb, t_cb, n_iters=n_iters)
+    jax.block_until_ready((kf, pts))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        kf, pts, info = schur_ba(problem, cam, R_cb, t_cb, n_iters=n_iters)
+        jax.block_until_ready((kf, pts))
+    dt = (time.perf_counter() - t0) / reps
+
+    iters_per_s = n_iters / dt
+    out = {
+        "metric": "local_ba_iters_per_s",
+        "value": round(iters_per_s, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_s / G2O_BASELINE_ITERS_PER_S, 2),
+        "device": str(jax.devices()[0]),
+        "window": "24 opt + 8 fixed KFs, 2048 pts, 6144 obs, VI edges",
+        "cost0": float(info["cost0"]),
+        "cost": float(info["cost"]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,18 @@ def _gather_kf(kf: KfState, idx) -> KfState:
     return jax.tree_util.tree_map(lambda a: a[idx], kf)
 
 
+def _vis_residuals(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
+    """Residual-only evaluation (no Jacobians) — used for LM cost checks."""
+    s_o = _gather_kf(problem.kf, problem.obs_kf)
+    p_o = problem.points[problem.obs_pt]
+    r0 = res.reprojection_residual(s_o, p_o, problem.obs_uv, camera, R_cb, t_cb)
+    depth = res.point_depth(s_o, p_o, R_cb, t_cb)
+    base_valid = problem.obs_valid & (depth > 0.05)
+    chi2 = jnp.sum(r0 * r0, axis=-1) * problem.obs_inv_sigma2
+    cost = jnp.sum(jnp.where(base_valid, res.huber_cost(chi2, huber_delta2), 0.0))
+    return chi2, cost
+
+
 def _vis_linearize(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
     """Per-observation residual + Jacobians at the current state."""
     s_o = _gather_kf(problem.kf, problem.obs_kf)  # [O]
@@ -192,9 +204,13 @@ def _prior_linearize(problem: BAProblem):
 
 
 def _total_cost(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
-    _, _, _, _, _, c_vis = _vis_linearize(problem, camera, R_cb, t_cb, huber_delta2)
-    _, _, _, _, c_ie = _inertial_linearize(problem)
-    _, _, _, _, c_walk = _walk_linearize(problem)
+    _, c_vis = _vis_residuals(problem, camera, R_cb, t_cb, huber_delta2)
+    s1 = _gather_kf(problem.kf, problem.ie_i)
+    s2 = _gather_kf(problem.kf, problem.ie_j)
+    r_e = res.inertial_residual(s1, s2, problem.ie_edge)
+    c_ie = jnp.sum(problem.ie_valid.astype(jnp.float32) * jnp.sum(r_e * r_e, -1))
+    r_w = res.bias_walk_residual(s1, s2, problem.walk_inv_sigma)
+    c_walk = jnp.sum(problem.walk_valid.astype(jnp.float32) * jnp.sum(r_w * r_w, -1))
     _, _, c_prior = _prior_linearize(problem)
     return c_vis + c_ie + c_walk + c_prior
 
