@@ -109,6 +109,25 @@ def _gather_kf(kf: KfState, idx) -> KfState:
     return jax.tree_util.tree_map(lambda a: a[idx], kf)
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate/det) — far cheaper on TPU
+    than a batched LU factorization for these tiny blocks."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def _vis_residuals(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
     """Residual-only evaluation (no Jacobians) — used for LM cost checks."""
     s_o = _gather_kf(problem.kf, problem.obs_kf)
@@ -277,11 +296,15 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         # ---- Schur elimination of landmarks ----
         Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
             + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = inv3x3(Hll_d)
 
         Y_pk = jnp.einsum("pkiv,pvw->pkiw", W_pk, Hll_inv)  # [P, K, 15, 3]
-        S_corr = jnp.einsum("pkiv,pljv->klij", Y_pk, W_pk)  # [K, K, 15, 15]
-        b_corr = jnp.einsum("pkiv,pv->ki", Y_pk, b_l)  # [K, 15]
+        # MXU-shaped reduction: flatten the tiny [15, 3] blocks into one big
+        # [K*15, P*3] x [P*3, K*15] matmul instead of a block einsum
+        Y2 = Y_pk.transpose(1, 2, 0, 3).reshape(K * 15, P * 3)
+        W2 = W_pk.transpose(1, 2, 0, 3).reshape(K * 15, P * 3)
+        S_corr = (Y2 @ W2.T).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
+        b_corr = (Y2 @ b_l.reshape(P * 3)).reshape(K, 15)
 
         S = Hcc - S_corr
         b = b_c - b_corr

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..backend import residuals as res
 from ..backend.solver import (
     BAProblem, CHI2_MONO, _gather_kf, _inertial_linearize, _prior_linearize,
-    _retract_problem, _total_cost, _vis_linearize, _walk_linearize,
+    _retract_problem, _total_cost, _vis_linearize, _walk_linearize, inv3x3,
 )
 
 
@@ -150,10 +150,12 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         # local landmark elimination
         Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
             + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = inv3x3(Hll_d)
         Y_pk = jnp.einsum("pkiv,pvw->pkiw", W_pk, Hll_inv)
-        S_corr = jnp.einsum("pkiv,pljv->klij", Y_pk, W_pk)
-        b_corr = jnp.einsum("pkiv,pv->ki", Y_pk, b_l)
+        Y2 = Y_pk.transpose(1, 2, 0, 3).reshape(K * 15, Pl * 3)
+        W2 = W_pk.transpose(1, 2, 0, 3).reshape(K * 15, Pl * 3)
+        S_corr = (Y2 @ W2.T).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
+        b_corr = (Y2 @ b_l.reshape(Pl * 3)).reshape(K, 15)
 
         # --- the distributed reduction: one psum over ICI ---
         S = jax.lax.psum(Hcc - S_corr, axis)

@@ -1,0 +1,130 @@
+"""Auxiliary subsystem tests: checkpoint/restore, logging, metrics, view,
+KITTI prep."""
+
+import numpy as np
+
+from monoorbslam3_tpu.models.checkpoint import load_map, save_map
+from monoorbslam3_tpu.models.map_state import MapStore
+from monoorbslam3_tpu.utils.logging import SlamLogger
+from monoorbslam3_tpu.evaluation.metrics import velocity_accuracy, load_tum
+from monoorbslam3_tpu.runners.prep_kitti import prepare_drive
+
+RNG = np.random.default_rng(17)
+
+
+def _populated_store():
+    store = MapStore(max_kf=16, max_pt=64, n_feat=32, max_obs=8)
+    feats = {
+        "xy": RNG.uniform(0, 100, (32, 2)).astype(np.float32),
+        "level": np.zeros(32, np.int32),
+        "angle": np.zeros(32, np.float32),
+        "desc": RNG.integers(0, 2**32, (32, 8), dtype=np.uint32),
+        "valid": np.ones(32, bool),
+    }
+    z = np.zeros(3, np.float32)
+    k0 = store.add_keyframe(1.0, np.eye(3), z, z, z, z, feats)
+    k1 = store.add_keyframe(1.5, np.eye(3), np.array([1, 0, 0], np.float32),
+                            z, z, z, feats)
+    for i in range(10):
+        p = store.add_point(RNG.normal(size=3), feats["desc"][i], k0)
+        store.add_observation(p, k0, i)
+        store.add_observation(p, k1, i)
+    from monoorbslam3_tpu.models.imu import ImuBuffer
+    buf = ImuBuffer()
+    for _ in range(20):
+        buf.add(RNG.normal(size=3), RNG.normal(size=3), 0.005)
+    store.kf_imu[k0] = buf
+    return store
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    store = _populated_store()
+    path = tmp_path / "map.npz"
+    save_map(store, str(path), extra={"imu_state": 1})
+    restored, extra = load_map(str(path))
+    assert extra == {"imu_state": 1}
+    assert restored.keyframe_ids() == store.keyframe_ids()
+    assert restored.n_points() == store.n_points()
+    np.testing.assert_array_equal(restored.pt_xyz, store.pt_xyz)
+    np.testing.assert_array_equal(restored.kf_feat_desc, store.kf_feat_desc)
+    np.testing.assert_array_equal(restored.pt_obs_kf, store.pt_obs_kf)
+    # IMU windows round-trip (re-integration stays possible)
+    k0 = store.keyframe_ids()[0]
+    assert restored.kf_imu[k0].n == store.kf_imu[k0].n
+    np.testing.assert_allclose(restored.kf_imu[k0].gyro[:20],
+                               store.kf_imu[k0].gyro[:20])
+    # covisibility works on the restored store
+    assert restored.covisibility_weights(k0) == store.covisibility_weights(k0)
+
+
+def test_logger_streams_and_timers(tmp_path):
+    log = SlamLogger(str(tmp_path))
+    log.tick()
+    log.write("tracker", "hello", n=3)
+    with log.stage("match"):
+        pass
+    log.close()
+    assert "hello" in (tmp_path / "tracker.log").read_text()
+    assert "match" in (tmp_path / "events.jsonl").read_text()
+    summary = log.timing_summary()
+    assert "match" in summary and summary["match"]["n"] == 1
+
+
+def test_velocity_accuracy_metric():
+    t = np.arange(10) * 0.5
+    v_gt = np.stack([np.sin(t), np.cos(t), 0 * t], 1)
+    v_est = v_gt + 0.05
+    out = velocity_accuracy(t, v_est, t, v_gt, max_dt=0.01)
+    assert out["n"] == 10
+    assert 0.0 < out["mean_vector_err"] < 0.15
+
+
+def test_tum_io_roundtrip(tmp_path):
+    path = tmp_path / "traj.txt"
+    with open(path, "w") as f:
+        f.write("1.0 0.1 0.2 0.3 0 0 0 1\n2.0 0.4 0.5 0.6 0 0 0 1\n")
+    t, p, q = load_tum(str(path))
+    assert t.shape == (2,)
+    np.testing.assert_allclose(p[1], [0.4, 0.5, 0.6])
+    np.testing.assert_allclose(q[0], [1, 0, 0, 0])  # (w, x, y, z)
+
+
+def test_kitti_prep(tmp_path):
+    drive = tmp_path / "drive"
+    (drive / "oxts" / "data").mkdir(parents=True)
+    (drive / "image_00").mkdir(parents=True)
+    ts_lines = [f"2011-09-26 13:02:2{i}.{i}00000000\n" for i in range(3)]
+    (drive / "oxts" / "timestamps.txt").write_text("".join(ts_lines))
+    (drive / "image_00" / "timestamps.txt").write_text("".join(ts_lines))
+    for i in range(3):
+        vals = [0.0] * 30
+        vals[0:3] = [49.0, 8.4, 112.0]
+        vals[11:14] = [0.1, 0.2, 9.8]
+        vals[17:20] = [0.01, 0.02, 0.03]
+        (drive / "oxts" / "data" / ("%010d.txt" % i)).write_text(
+            " ".join(str(v) for v in vals))
+    n_imu, n_cam = prepare_drive(str(drive), str(tmp_path / "out"))
+    assert n_imu == 3 and n_cam == 3
+    imu = np.loadtxt(tmp_path / "out" / "oxts" / "imu.txt")
+    np.testing.assert_allclose(imu[0, 1:4], [0.01, 0.02, 0.03])
+    np.testing.assert_allclose(imu[0, 4:7], [0.1, 0.2, 9.8])
+
+
+def test_visualizer_figures(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from monoorbslam3_tpu.view.visualizer import draw_frame, draw_map, draw_trajectory
+    from monoorbslam3_tpu.models.imu import ImuCalib
+
+    store = _populated_store()
+    calib = ImuCalib.create(R_bc=np.eye(3), t_bc=np.zeros(3),
+                            noise_gyro=1e-4, noise_acc=1e-3,
+                            walk_gyro=1e-5, walk_acc=1e-4)
+    img = RNG.uniform(0, 255, (120, 160))
+    xy = RNG.uniform(0, 100, (20, 2))
+    fig1 = draw_frame(img, xy, xy[:, 0] > 50, "OK: 10 pts")
+    fig2 = draw_map(store, calib)
+    fig3 = draw_trajectory([0, 1], np.array([[0, 0, 0], [1, 0, 0]]))
+    for i, fig in enumerate((fig1, fig2, fig3)):
+        fig.savefig(tmp_path / f"fig{i}.png")
+    assert (tmp_path / "fig0.png").stat().st_size > 0
