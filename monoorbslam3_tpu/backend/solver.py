@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils import lie
 from . import residuals as res
 from .residuals import KfState, PreintEdge
 
@@ -141,24 +142,30 @@ def _vis_residuals(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
 
 
 def _vis_linearize(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
-    """Per-observation residual + Jacobians at the current state."""
+    """Per-observation residual + analytic Jacobians at the current state.
+
+    Right-multiplicative pose tangent (retract_kf): with
+    p_b = R_wb^T (p_w - t_wb) and p_c = R_cb p_b + t_cb,
+      d p_c / d phi = R_cb hat(p_b),  d p_c / d t = -R_cb,
+      d p_c / d p_w = R_cw = R_cb R_wb^T,
+    and J = Jproj(p_c) composed with the above (the same chain the
+    reference hand-derives in G2oTypes.cpp:59-69). Verified against jacfwd
+    in tests/test_solver.py."""
     s_o = _gather_kf(problem.kf, problem.obs_kf)  # [O]
     p_o = problem.points[problem.obs_pt]
 
-    def r_fn(dxc, dxl, s, p, uv):
-        return res.reprojection_residual(
-            res.retract_kf(s, dxc), p + dxl, uv, camera, R_cb, t_cb
-        )
+    p_b = jnp.einsum("oji,oj->oi", s_o.R_wb, p_o - s_o.t_wb)  # R_wb^T (p - t)
+    p_c = p_b @ R_cb.T + t_cb
+    r0 = camera.project(p_c) - problem.obs_uv  # [O, 2]
 
-    z15 = jnp.zeros(15, jnp.float32)
-    z3 = jnp.zeros(3, jnp.float32)
-
-    def per_obs(s, p, uv):
-        r0 = r_fn(z15, z3, s, p, uv)
-        Jc, Jl = jax.jacfwd(r_fn, argnums=(0, 1))(z15, z3, s, p, uv)
-        return r0, Jc, Jl
-
-    r0, Jc, Jl = jax.vmap(per_obs)(s_o, p_o, problem.obs_uv)  # [O,2],[O,2,15],[O,2,3]
+    Jproj = camera.proj_jacobian(p_c)  # [O, 2, 3]
+    Jproj_Rcb = jnp.einsum("oij,jk->oik", Jproj, R_cb)  # [O, 2, 3]
+    O = r0.shape[0]
+    Jc = jnp.zeros((O, 2, 15), jnp.float32)
+    Jc = Jc.at[:, :, 0:3].set(jnp.einsum("oij,ojk->oik", Jproj_Rcb, lie.hat(p_b)))
+    Jc = Jc.at[:, :, 3:6].set(-Jproj_Rcb)
+    R_cw = jnp.einsum("ij,okj->oik", R_cb, s_o.R_wb)  # [O, 3, 3]
+    Jl = jnp.einsum("oij,ojk->oik", Jproj, R_cw)  # [O, 2, 3]
 
     depth = res.point_depth(s_o, p_o, R_cb, t_cb)
     base_valid = problem.obs_valid & (depth > 0.05)
@@ -303,8 +310,12 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         # [K*15, P*3] x [P*3, K*15] matmul instead of a block einsum
         Y2 = Y_pk.transpose(1, 2, 0, 3).reshape(K * 15, P * 3)
         W2 = W_pk.transpose(1, 2, 0, 3).reshape(K * 15, P * 3)
-        S_corr = (Y2 @ W2.T).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
-        b_corr = (Y2 @ b_l.reshape(P * 3)).reshape(K, 15)
+        # f32 MXU precision: the default bf16 matmul loses enough bits to
+        # slow LM convergence measurably
+        S_corr = jnp.matmul(Y2, W2.T, precision=jax.lax.Precision.HIGHEST
+                            ).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
+        b_corr = jnp.matmul(Y2, b_l.reshape(P * 3),
+                            precision=jax.lax.Precision.HIGHEST).reshape(K, 15)
 
         S = Hcc - S_corr
         b = b_c - b_corr

@@ -400,30 +400,19 @@ class LocalMapping:
             return
         candidates = store.recent_keyframes(self.window)[:-4]
         order = store.keyframe_ids()
+        from .. import native
+
         for k in candidates:
             if k == current or k == order[0]:
                 continue
-            pids = store.kf_feat_pt[k]
-            fsel = np.nonzero(pids >= 0)[0]
-            if len(fsel) < 10:
+            checked, redundant = native.redundancy_count(
+                store.kf_feat_pt[k], store.kf_feat_level[k],
+                store.pt_obs_kf, store.pt_obs_feat, store.pt_n_obs,
+                store.kf_feat_level, k,
+            )
+            if checked < 10:
                 continue
-            redundant = 0
-            for f in fsel:
-                p = pids[f]
-                if not store.pt_valid[p]:
-                    continue
-                lv = store.kf_feat_level[k, f]
-                n_better = 0
-                for i in range(store.pt_n_obs[p]):
-                    kj = store.pt_obs_kf[p, i]
-                    fj = store.pt_obs_feat[p, i]
-                    if kj == k or kj < 0:
-                        continue
-                    if store.kf_feat_level[kj, fj] <= lv + 1:
-                        n_better += 1
-                if n_better >= 3:
-                    redundant += 1
-            if redundant > 0.9 * len(fsel):
+            if redundant > 0.9 * checked:
                 store.remove_keyframe(k)
 
 

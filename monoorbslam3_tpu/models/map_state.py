@@ -264,16 +264,12 @@ class MapStore:
 
     def covisibility_weights(self, k: int) -> dict[int, int]:
         """#shared map points between KF k and every other KF
-        (KeyFrame::updateConnections analog, KeyFrame.cpp:225-291)."""
-        pids = self.kf_feat_pt[k]
-        pids = pids[pids >= 0]
-        if len(pids) == 0:
-            return {}
-        obs_kf = self.pt_obs_kf[pids].reshape(-1)
-        obs_kf = obs_kf[(obs_kf >= 0) & (obs_kf != k)]
-        if len(obs_kf) == 0:
-            return {}
-        counts = np.bincount(obs_kf, minlength=self.max_kf)
+        (KeyFrame::updateConnections analog, KeyFrame.cpp:225-291).
+        Hot host-graph scan -> native C++ kernel with numpy fallback."""
+        from .. import native
+
+        counts = native.covis_counts(self.kf_feat_pt[k], self.pt_obs_kf,
+                                     self.pt_n_obs, self.max_kf, k)
         nz = np.nonzero(counts)[0]
         return {int(j): int(counts[j]) for j in nz}
 

@@ -154,8 +154,12 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         Y_pk = jnp.einsum("pkiv,pvw->pkiw", W_pk, Hll_inv)
         Y2 = Y_pk.transpose(1, 2, 0, 3).reshape(K * 15, Pl * 3)
         W2 = W_pk.transpose(1, 2, 0, 3).reshape(K * 15, Pl * 3)
-        S_corr = (Y2 @ W2.T).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
-        b_corr = (Y2 @ b_l.reshape(Pl * 3)).reshape(K, 15)
+        # f32 MXU precision: the default bf16 matmul loses enough bits to
+        # slow LM convergence measurably
+        S_corr = jnp.matmul(Y2, W2.T, precision=jax.lax.Precision.HIGHEST
+                            ).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
+        b_corr = jnp.matmul(Y2, b_l.reshape(Pl * 3),
+                            precision=jax.lax.Precision.HIGHEST).reshape(K, 15)
 
         # --- the distributed reduction: one psum over ICI ---
         S = jax.lax.psum(Hcc - S_corr, axis)

@@ -250,3 +250,32 @@ def test_schur_ba_visual_inertial_converges():
     for k in range(1, n_kf):
         terr = np.linalg.norm(np.asarray(kf.t_wb[k]) - np.asarray(kf_gt.t_wb[k]))
         assert terr < 0.1, f"kf{k} translation error {terr}"
+
+
+def test_analytic_vis_jacobians_match_jacfwd():
+    """The hand-derived reprojection Jacobians in _vis_linearize must match
+    autodiff through the retraction."""
+    import jax
+    from monoorbslam3_tpu.backend import solver as S
+
+    problem, _, _ = _build_ba_problem(n_kf=4, n_pts=64, perturb=True)
+    r0, Jc, Jl, w, chi2, cost = S._vis_linearize(problem, CAM, R_CB, T_CB, 5.991)
+
+    s_o = S._gather_kf(problem.kf, problem.obs_kf)
+    p_o = problem.points[problem.obs_pt]
+
+    def r_fn(dxc, dxl, s, p, uv):
+        return res.reprojection_residual(
+            res.retract_kf(s, dxc), p + dxl, uv, CAM, R_CB, T_CB)
+
+    z15 = jnp.zeros(15, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+
+    def per_obs(s, p, uv):
+        return jax.jacfwd(r_fn, argnums=(0, 1))(z15, z3, s, p, uv)
+
+    Jc_ref, Jl_ref = jax.vmap(per_obs)(s_o, p_o, problem.obs_uv)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jl), np.asarray(Jl_ref),
+                               rtol=1e-4, atol=1e-4)
