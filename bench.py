@@ -104,6 +104,24 @@ def jax_tree_gather(kf, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], kf)
 
 
+def bench_frontend(reps: int = 20):
+    """ORB extraction + local-map Hamming match + pose-opt: one tracking
+    step (the reference's implicit real-time target, SURVEY.md §6)."""
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -127,6 +145,11 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     iters_per_s = n_iters / dt
+    try:
+        frontend_fps = bench_frontend()
+    except Exception:
+        frontend_fps = -1.0
+
     out = {
         "metric": "local_ba_iters_per_s",
         "value": round(iters_per_s, 2),
@@ -136,6 +159,10 @@ def main():
         "window": "24 opt + 8 fixed KFs, 2048 pts, 6144 obs, VI edges",
         "cost0": float(info["cost0"]),
         "cost": float(info["cost"]),
+        # secondary: full tracking-step throughput (752x480 image, 1024 feat)
+        # vs the reference's implicit 20 Hz real-time target
+        "frontend_fps": round(frontend_fps, 1),
+        "frontend_vs_20hz": round(frontend_fps / 20.0, 2),
     }
     print(json.dumps(out))
 

@@ -37,8 +37,14 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
 
     XOR + popcount over the packed words; the popcount sum over 8 words is
     the analog of the reference's 32-bit parallel bit count
-    (ORBMatcher.cpp:17-31), vectorized over the full N x M block.
+    (ORBMatcher.cpp:17-31), vectorized over the full N x M block. On TPU
+    the block is computed by a tiled Pallas kernel (VMEM-resident XOR +
+    popcount + reduce, ops/pallas_kernels.py); elsewhere by XLA.
     """
+    from . import pallas_kernels
+
+    if pallas_kernels.use_pallas() and desc_a.shape[0] >= 64:
+        return pallas_kernels.hamming_matrix_pallas(desc_a, desc_b)
     x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
