@@ -34,6 +34,14 @@ from .residuals import KfState, PreintEdge
 from .solver import BAProblem, schur_ba
 
 CHI2_MONO = 5.991
+# Frame-level association gate. The reference drops frame matches at the
+# same 5.991 as BA (Optimize.cpp:498-524); with noise-limited map-point
+# depth uncertainty projecting into NEW viewpoints, that hard gate sheds
+# correct associations faster than the mapper can repair them (see
+# STATUS.md forensic notes). Huber IRLS already downweights marginal
+# residuals, so a looser drop threshold is safe and keeps the association
+# set alive while BA absorbs the new viewpoint.
+CHI2_FRAME_DROP = 16.0
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +158,7 @@ def _pose_optimize_impl(
             None, length=lm_steps,
         )
         chi2, depth_ok = chi2_of(new_state)
-        new_inlier = valid & (chi2 < CHI2_MONO) & depth_ok
+        new_inlier = valid & (chi2 < CHI2_FRAME_DROP) & depth_ok
         return new_state, new_inlier
 
     chi2, depth_ok = chi2_of(state0)

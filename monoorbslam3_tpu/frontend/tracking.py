@@ -302,16 +302,21 @@ class Tracking:
         if ok:
             self.state = OK
             self.lost_since = None
-            # update the camera-frame motion model (Tracking.cpp:131-136)
+            # update the camera-frame motion model (Tracking.cpp:131-136).
+            # The translation is exponentially smoothed: frame-to-frame
+            # differentiation amplifies pose-fit noise, and the resulting
+            # prediction jitter feeds back through the radius-gated matchers
+            # (see STATUS.md forensic notes). Rotation stays instantaneous
+            # (well-constrained by ~200 features).
             if self.last_frame is not None and self.last_frame.state is not None:
                 R_last = np.asarray(self.last_frame.state.R_wb)
                 t_last = np.asarray(self.last_frame.state.t_wb)
                 R_cur = np.asarray(frame.state.R_wb)
                 t_cur = np.asarray(frame.state.t_wb)
-                self.velocity_rel = (
-                    R_last.T @ R_cur,
-                    R_last.T @ (t_cur - t_last),
-                )
+                t_rel_new = R_last.T @ (t_cur - t_last)
+                if self.velocity_rel is not None:
+                    t_rel_new = 0.5 * t_rel_new + 0.5 * self.velocity_rel[1]
+                self.velocity_rel = (R_last.T @ R_cur, t_rel_new)
             self.frames_since_kf += 1
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
