@@ -106,8 +106,12 @@ def _triangulate_pair_kernel(
     s_ratio = jnp.sqrt(sigma2_1 / jnp.maximum(sigma2_2[safe_idx], 1e-9))
     scale_ok = (ratio < s_ratio * 2.0) & (ratio * 2.0 > s_ratio / 1.0)
 
+    # parallax gate: the reference accepts cos < 0.9998 (~1.15 deg,
+    # .cpp:652-657); near the focus of expansion that admits points with
+    # 20%+ depth error which destabilize tracking until BA repairs them.
+    # 0.9993 (~2.1 deg) keeps depth error under ~4% at triangulation time.
     accept = (
-        hit & z_ok & (cos_par < 0.9998) & (e1 < 5.991) & (e2 < 5.991)
+        hit & z_ok & (cos_par < 0.9993) & (e1 < 5.991) & (e2 < 5.991)
         & scale_ok & jnp.all(jnp.isfinite(X), axis=-1)
     )
     return idx, X, accept
@@ -156,22 +160,35 @@ class LocalMapping:
     # ------------------------------------------------------------------
 
     def process(self, k: int, initial: bool = False):
-        """One mapper step for a freshly inserted keyframe."""
+        """One mapper step for a freshly inserted keyframe.
+
+        Stage order deliberately differs from the reference (which
+        triangulates BEFORE its BA, LocalMapping.cpp:44-54): the fresh KF's
+        tracked pose carries the frame-tracking error, and triangulating
+        from it divides that error by the pair parallax — measured to
+        double the map's p90 point error per step. We therefore refine the
+        window (including the new KF pose) FIRST, triangulate from the
+        refined pose, then run a short polish BA over the new points."""
         self.kf_counter += 1
         self.process_new_keyframe(k)
         if initial:
             return
         self.cull_map_points()
-        self.create_new_map_points(k)
-        self.fuse_neighbors(k)
 
-        if self.store.n_keyframes() >= 3:
+        def run_ba(n_iters):
+            if self.store.n_keyframes() < 3:
+                return {}
             if self.imu_state == IMU_NOT_INIT:
-                self.last_info = self.problems.local_bundle_adjustment(
-                    self.store, k, window=self.window)
-            else:
-                self.last_info = self.problems.local_full_bundle_adjustment(
-                    self.store, window=self.window)
+                return self.problems.local_bundle_adjustment(
+                    self.store, k, window=self.window, n_iters=n_iters)
+            return self.problems.local_full_bundle_adjustment(
+                self.store, window=self.window, n_iters=n_iters)
+
+        self.last_info = run_ba(8)
+        n_new = self.create_new_map_points(k)
+        self.fuse_neighbors(k)
+        if n_new:
+            self.last_info = run_ba(4)  # polish freshly triangulated points
 
         if (self.imu_state == IMU_NOT_INIT
                 and self.store.n_keyframes() > self.imu_init_kfs):
