@@ -494,8 +494,27 @@ class Tracking:
         frame.n_tracked = n_inliers
         return n_inliers >= self.min_track_inliers
 
+    def _point_depth_sigma_px(self, frame: Frame, pids: np.ndarray) -> np.ndarray:
+        """Per-point extra pixel sigma from the point's along-ray (depth)
+        uncertainty seen from the CURRENT viewpoint: the depth error is
+        invisible along the point's mean observation ray and fully visible
+        perpendicular to it — sigma_px ~ f * sigma_z * sin(theta) / z."""
+        store = self.store
+        st = frame.state
+        center = np.asarray(st.t_wb) + np.asarray(st.R_wb) @ np.asarray(self.calib.t_bc)
+        vec = store.pt_xyz[pids] - center
+        z = np.linalg.norm(vec, axis=1)
+        ray = vec / np.maximum(z[:, None], 1e-9)
+        normal = store.pt_normal[pids]
+        cos_t = np.abs((ray * normal).sum(1))
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t**2, 0.0))
+        f = float(self.camera.fx)
+        return f * store.pt_sigma_z[pids] * sin_t / np.maximum(z, 1e-6)
+
     def _optimize_frame_pose(self, frame: Frame, full: bool = False) -> int:
-        """poseOptimize / poseFullOptimize dispatch."""
+        """poseOptimize / poseFullOptimize dispatch, with per-observation
+        sigma inflated by the matched point's projected depth uncertainty
+        (low-parallax points contribute bearing information only)."""
         N = self.n_feat
         sel = np.nonzero(frame.pt_ids >= 0)[0]
         pts = np.zeros((N, 3), np.float32)
@@ -503,9 +522,12 @@ class Tracking:
         inv_s2 = np.ones(N, np.float32)
         valid = np.zeros(N, bool)
         n = len(sel)
-        pts[:n] = self.store.pt_xyz[frame.pt_ids[sel]]
+        pids = frame.pt_ids[sel]
+        pts[:n] = self.store.pt_xyz[pids]
         uv[:n] = frame.xy[sel]
-        inv_s2[:n] = 1.0 / frame.sigma2[sel]
+        extra_px = self._point_depth_sigma_px(frame, pids)
+        eff_sigma2 = frame.sigma2[sel] + extra_px**2
+        inv_s2[:n] = 1.0 / eff_sigma2
         valid[:n] = True
 
         if full and frame.pre_from_kf is not None and self.last_kf_id >= 0:

@@ -21,7 +21,7 @@ _ARRAY_FIELDS = [
     "kf_feat_desc", "kf_feat_valid", "kf_feat_sigma2", "kf_feat_pt",
     "kf_prior_inv_sigma",
     "pt_valid", "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist",
-    "pt_max_dist", "pt_first_kf", "pt_visible", "pt_found",
+    "pt_max_dist", "pt_sigma_z", "pt_first_kf", "pt_visible", "pt_found",
     "pt_obs_kf", "pt_obs_feat", "pt_n_obs",
 ]
 

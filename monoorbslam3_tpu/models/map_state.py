@@ -61,6 +61,10 @@ class MapStore:
         self.pt_normal = np.zeros((max_pt, 3), np.float32)
         self.pt_min_dist = np.zeros(max_pt, np.float32)
         self.pt_max_dist = np.zeros(max_pt, np.float32)
+        # along-ray (depth) standard deviation estimate, map units; drives
+        # per-observation sigma inflation in the frame optimizer (points
+        # with little observation parallax must not vote on depth)
+        self.pt_sigma_z = np.full(max_pt, 1e3, np.float32)
         self.pt_first_kf = np.full(max_pt, -1, np.int32)
         self.pt_visible = np.zeros(max_pt, np.int32)
         self.pt_found = np.zeros(max_pt, np.int32)
@@ -250,6 +254,16 @@ class MapStore:
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             self.pt_normal[p] = (vecs / np.maximum(norms, 1e-9)).mean(0)
             self.pt_normal[p] /= max(np.linalg.norm(self.pt_normal[p]), 1e-9)
+            # depth uncertainty from the observation-baseline span:
+            # sigma_z ~ (sigma_px / f) * zbar^2 / b_span  (f ~ 450 px,
+            # sigma_px ~ 0.6 combining both views)
+            zbar = float(norms.mean())
+            if n >= 2:
+                d2 = centers[:, None, :] - centers[None, :, :]
+                b_span = float(np.sqrt((d2 ** 2).sum(-1)).max())
+            else:
+                b_span = 0.0
+            self.pt_sigma_z[p] = (0.6 / 450.0) * zbar * zbar / max(b_span, 1e-4)
             ref_i = n - 1
             dist_ref = float(norms[ref_i, 0])
             level = int(self.kf_feat_level[kfs[ref_i], feats[ref_i]])
