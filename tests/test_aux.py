@@ -128,3 +128,37 @@ def test_visualizer_figures(tmp_path):
     for i, fig in enumerate((fig1, fig2, fig3)):
         fig.savefig(tmp_path / f"fig{i}.png")
     assert (tmp_path / "fig0.png").stat().st_size > 0
+
+
+def test_async_mapper_smoke():
+    """System(async_mapper=True): the host-thread mapper queue (the
+    reference's Tracking->LocalMapping pipeline boundary) processes KFs and
+    shuts down cleanly."""
+    import time
+    import jax.numpy as jnp
+    from monoorbslam3_tpu.models.camera import Pinhole
+    from monoorbslam3_tpu.models.imu import ImuCalib
+    from monoorbslam3_tpu.system import System
+
+    cam = Pinhole.create(fx=450.0, fy=450.0, cx=376.0, cy=240.0,
+                         width=752, height=480)
+    calib = ImuCalib.create(R_bc=np.eye(3), t_bc=np.zeros(3),
+                            noise_gyro=1e-4, noise_acc=1e-3,
+                            walk_gyro=1e-5, walk_acc=1e-4)
+    syst = System(cam, calib, config={"n_features": 64}, async_mapper=True)
+    # inject two keyframes directly through the callback path
+    feats = {
+        "xy": RNG.uniform(100, 600, (64, 2)).astype(np.float32),
+        "level": np.zeros(64, np.int32), "angle": np.zeros(64, np.float32),
+        "desc": RNG.integers(0, 2**32, (64, 8), dtype=np.uint32),
+        "valid": np.ones(64, bool), "sigma2": np.ones(64, np.float32),
+    }
+    z = np.zeros(3, np.float32)
+    k0 = syst.store.add_keyframe(0.0, np.eye(3), z, z, z, z, feats)
+    syst.tracking.new_kf_callback(k0, initial=True)
+    deadline = time.time() + 5.0
+    while syst.mapper.kf_counter < 1 and time.time() < deadline:
+        time.sleep(0.01)
+    assert syst.mapper.kf_counter == 1, "async mapper never processed the KF"
+    syst.shutdown()
+    assert not syst._thread.is_alive()
