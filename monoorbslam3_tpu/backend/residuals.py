@@ -57,9 +57,23 @@ class KfState(NamedTuple):
 
 
 def retract_kf(s: KfState, dx: jnp.ndarray) -> KfState:
-    """Right-multiplicative 15-dim retraction (CameraImuPose::update)."""
+    """Right-multiplicative 15-dim retraction (CameraImuPose::update).
+
+    The returned rotation is re-projected onto SO(3) with one Newton polar
+    step, R <- R (3I - R^T R)/2. This is load-bearing: the tracking loop
+    feeds fitted states back through the motion model as
+    R_pred = R_cur (R_last^T R_cur), which passes any symmetric
+    off-manifold error component through TWICE — the f32 roundoff seed
+    (~1e-7) doubles every frame and reaches 1e-1 within ~20 frames,
+    warping every reprojection while right-multiplicative LM steps are
+    powerless to remove a left-side non-rotation factor (measured: the
+    round-1 ~1 s tracking collapse, STATUS.md). One Newton step maps
+    error eps -> O(eps^2), pinning the chain at machine noise.
+    """
     dphi, dt, dv, dbg, dba = dx[..., 0:3], dx[..., 3:6], dx[..., 6:9], dx[..., 9:12], dx[..., 12:15]
     R = s.R_wb @ lie.exp_so3(dphi)
+    RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+    R = 0.5 * (3.0 * R - jnp.einsum("...ij,...jk->...ik", R, RtR))
     t = s.t_wb + jnp.einsum("...ij,...j->...i", s.R_wb, dt)
     return KfState(R, t, s.v + dv, s.bg + dbg, s.ba + dba)
 

@@ -27,6 +27,15 @@ from .frame import Frame
 
 G_W = np.array([0.0, 0.0, -GRAVITY_VALUE], np.float32)
 
+
+def _orthonormalize(R: np.ndarray) -> np.ndarray:
+    """Exact projection of a near-rotation onto SO(3) (host side, 3x3)."""
+    U, _, Vt = np.linalg.svd(R.astype(np.float64))
+    Rn = U @ Vt
+    if np.linalg.det(Rn) < 0.0:
+        Rn = (U * np.array([1.0, 1.0, -1.0])) @ Vt
+    return Rn.astype(np.float32)
+
 # state machine (Tracking.h:20-26)
 NO_IMAGE = 0
 NOT_INITIALIZED = 1
@@ -274,7 +283,7 @@ class Tracking:
         last = self.last_frame
         if last is not None and last.state is not None and self.velocity_rel is not None:
             R_rel, t_rel = self.velocity_rel
-            R = np.asarray(last.state.R_wb) @ R_rel
+            R = _orthonormalize(np.asarray(last.state.R_wb) @ R_rel)
             t = np.asarray(last.state.t_wb) + np.asarray(last.state.R_wb) @ t_rel
             return KfState(jnp.asarray(R.astype(np.float32)),
                            jnp.asarray(t.astype(np.float32)),
@@ -316,7 +325,11 @@ class Tracking:
                 t_rel_new = R_last.T @ (t_cur - t_last)
                 if self.velocity_rel is not None:
                     t_rel_new = 0.5 * t_rel_new + 0.5 * self.velocity_rel[1]
-                self.velocity_rel = (R_last.T @ R_cur, t_rel_new)
+                # _orthonormalize is load-bearing: R_last^T R_cur passes any
+                # off-manifold error in the fitted state through twice per
+                # frame (geometric doubling — the round-1 ~1 s collapse,
+                # STATUS.md); projecting back to SO(3) caps it at roundoff.
+                self.velocity_rel = (_orthonormalize(R_last.T @ R_cur), t_rel_new)
             self.frames_since_kf += 1
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)

@@ -8,9 +8,9 @@ seconds, high-inlier tracking stretches, autonomous reset+reinit after
 loss, full export surface, and accurate trajectory segments (ATE on the
 tracked window).
 
-KNOWN GAP (round-2 target, see STATUS.md): sustained multi-second tracking
-under continuous view change still degrades — the long-run stability test
-below is marked xfail until the remaining instability is resolved.
+The long-run stability test passes since the SO(3) re-projection fix in
+retract_kf and the motion model (see STATUS.md forensic record for the
+round-1 history of the ~1 s tracking collapse it closed).
 """
 
 import numpy as np
@@ -147,9 +147,11 @@ def test_segment_ate(pipeline_run):
     assert out["rmse"] < 0.10, f"segment ATE RMSE {out['rmse']}"
 
 
-@pytest.mark.xfail(reason="round-2 target: sustained tracking under continuous "
-                          "view change (see STATUS.md known-gaps)", strict=False)
 def test_sustained_tracking_and_imu_init(pipeline_run):
+    """Sustained tracking under continuous view change. Fixed by the SO(3)
+    re-projection in retract_kf / the motion model (the round-1 ~1 s
+    collapse was geometric doubling of off-manifold rotation error through
+    R_pred = R_cur (R_last^T R_cur); see STATUS.md forensic record)."""
     sys, states, ntracks, frame_times, *_ = pipeline_run
     first_ok = np.nonzero(states == T.OK)[0][0]
     ok_ratio = (states[first_ok:] == T.OK).mean()
