@@ -190,8 +190,11 @@ class LocalMapping:
         if n_new:
             self.last_info = run_ba(4)  # polish freshly triangulated points
 
+        # monotonic KF id, not the live (culled) count — the reference keys
+        # on KeyFrame::id (LocalMapping.cpp:57-60), so culling must not
+        # delay inertial initialization
         if (self.imu_state == IMU_NOT_INIT
-                and self.store.n_keyframes() > self.imu_init_kfs):
+                and self.store._next_kf_slot > self.imu_init_kfs):
             self.initialize_imu()
         elif (self.imu_state == IMU_INITIALIZED
               and self.imu_init_time is not None
