@@ -32,21 +32,32 @@ HISTO_LENGTH = 30
 BIG = jnp.int32(1 << 20)
 
 
+def _unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """Bit-packed [K, 8] u32 -> [K, 256] bf16 in {-1, +1} (bit order fixed
+    but arbitrary — both operands use the same order)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    bits = bits.reshape(desc.shape[0], 256).astype(jnp.bfloat16)
+    return 2.0 * bits - 1.0
+
+
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """[N, 8] u32 x [M, 8] u32 -> [N, M] int32 Hamming distances.
 
-    XOR + popcount over the packed words; the popcount sum over 8 words is
-    the analog of the reference's 32-bit parallel bit count
-    (ORBMatcher.cpp:17-31), vectorized over the full N x M block. On TPU
-    the block is computed by a tiled Pallas kernel (VMEM-resident XOR +
-    popcount + reduce, ops/pallas_kernels.py); elsewhere by XLA.
+    TPU-native formulation: unpack to +-1 vectors and ride the MXU —
+    for a, b in {0,1}^256 with A = 2a-1, B = 2b-1:
+        hamming(a, b) = (256 - A.B) / 2.
+    Products are +-1 (exact in bf16) and the f32 accumulator holds
+    integers <= 256 exactly, so the distances are exact. This replaces
+    the reference's per-pair 32-bit parallel bit count
+    (ORBMatcher.cpp:17-31) with one [N,256]x[256,M] matmul — the shape
+    the MXU is built for — instead of a lane-starved [N,M,8] XOR+popcount
+    elementwise block (minor dim 8 of 128 lanes).
     """
-    from . import pallas_kernels
-
-    if pallas_kernels.use_pallas() and desc_a.shape[0] >= 64:
-        return pallas_kernels.hamming_matrix_pallas(desc_a, desc_b)
-    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    A = _unpack_pm1(desc_a)
+    B = _unpack_pm1(desc_b)
+    dot = jnp.matmul(A, B.T, preferred_element_type=jnp.float32)
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 
 def rotation_consistency_mask(angles_a, angles_b, match_idx, matched):

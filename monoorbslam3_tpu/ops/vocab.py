@@ -142,7 +142,10 @@ class Vocabulary(NamedTuple):
 @partial(jax.jit, static_argnames=("k", "levels", "level_offset", "group_level"))
 def _transform_impl(node_desc, word_idf, desc, valid,
                     k: int, levels: int, level_offset: tuple, group_level: int):
+    from .matching import _unpack_pm1
+
     N = desc.shape[0]
+    A = _unpack_pm1(desc)  # [N, 256] +-1, unpacked once for all levels
     node = jnp.zeros(N, jnp.int32)  # slot within current level's parent order
     group = jnp.zeros(N, jnp.int32)
     for l in range(1, levels + 1):
@@ -150,8 +153,11 @@ def _transform_impl(node_desc, word_idf, desc, valid,
         # children of `node` at this level occupy slots node*k .. node*k+k-1
         child_slots = node[:, None] * k + jnp.arange(k)[None, :]  # [N, k]
         child_desc = node_desc[off + child_slots]  # [N, k, 8]
-        x = jnp.bitwise_xor(desc[:, None, :], child_desc)
-        d = jnp.sum(jax.lax.population_count(x), axis=-1)  # [N, k]
+        # +-1 contraction over the 256-lane minor dim instead of a
+        # lane-starved [N, k, 8] XOR+popcount (hamming = (256 - A.C)/2;
+        # argmin is unaffected by the affine map, so compare -A.C)
+        C = _unpack_pm1(child_desc.reshape(-1, 8)).reshape(N, k, 256)
+        d = -jnp.einsum("nc,nkc->nk", A, C, preferred_element_type=jnp.float32)
         best = jnp.argmin(d, axis=-1).astype(jnp.int32)
         node = node * k + best
         if l == group_level:
