@@ -87,3 +87,27 @@ def test_pose_compose_inverse():
     p = jnp.asarray(RNG.normal(size=(8, 3)), jnp.float32)
     back = pose.inverse().apply(pose.apply(p))
     np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-5)
+
+
+def test_retract_kf_reprojects_to_so3():
+    """retract_kf must pin off-manifold drift: starting from a rotation with
+    a symmetric error (the kind the motion-model chain doubles per frame —
+    the round-1 ~1 s tracking collapse), one retraction step must return to
+    SO(3) at roughly the square of the input error."""
+    import numpy as np
+    from monoorbslam3_tpu.backend import residuals as res
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=3) * 0.3
+    R = np.asarray(lie.exp_so3(jnp.asarray(w, jnp.float32)))
+    E = rng.normal(size=(3, 3)).astype(np.float32)
+    E = 1e-3 * (E + E.T) / 2.0
+    R_bad = R @ (np.eye(3, dtype=np.float32) + E)
+    err_in = np.linalg.norm(R_bad.T @ R_bad - np.eye(3))
+    s = res.KfState(jnp.asarray(R_bad), jnp.zeros(3), jnp.zeros(3),
+                    jnp.zeros(3), jnp.zeros(3))
+    s2 = res.retract_kf(s, jnp.zeros(15, jnp.float32))
+    R2 = np.asarray(s2.R_wb)
+    err_out = np.linalg.norm(R2.T @ R2 - np.eye(3))
+    assert err_in > 1e-3  # the perturbation is real
+    assert err_out < 5.0 * err_in**2 + 1e-6, (err_in, err_out)
