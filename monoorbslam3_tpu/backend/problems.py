@@ -30,6 +30,7 @@ import numpy as np
 from ..models.imu import ImuCalib, preintegrate
 from ..utils import lie
 from . import residuals as res
+from . import solver
 from .residuals import KfState, PreintEdge
 from .solver import BAProblem, schur_ba
 
@@ -137,9 +138,10 @@ def _pose_optimize_impl(
             D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
             lams = lam * LAMBDA_FACTORS
             Hs = H[None] + lams[:, None, None] * D[None]
-            steps = -jnp.linalg.solve(
-                Hs, jnp.broadcast_to(g, (lams.shape[0], 15))[..., None]
-            ).squeeze(-1)
+            # closed-form nested-Schur SPD solve: all matmul/elementwise,
+            # no serialized LU in the latency-critical frame LM chain
+            steps = -solver.solve_spd15_jacobi(
+                Hs, jnp.broadcast_to(g, (lams.shape[0], 15)))
             cands = jax.vmap(lambda d: res.retract_kf(s, d))(steps)
             costs = jax.vmap(lambda c: robust_cost(c, w_vis))(cands)
             best = jnp.argmin(costs)

@@ -129,6 +129,51 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+def _inv_spd_block(M: jnp.ndarray, n1: int, inv_a, inv_s) -> jnp.ndarray:
+    """Blockwise SPD inverse via the Schur complement:
+    [[A, B], [B^T, D]]^-1 with A (n1 x n1) inverted by `inv_a` and the
+    Schur complement S = D - B^T A^-1 B inverted by `inv_s`."""
+    A = M[..., :n1, :n1]
+    B = M[..., :n1, n1:]
+    D = M[..., n1:, n1:]
+    Ai = inv_a(A)
+    AiB = Ai @ B
+    S = D - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = inv_s(S)
+    TR = -AiB @ Si
+    TL = Ai - TR @ jnp.swapaxes(AiB, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def inv_spd6(M):
+    return _inv_spd_block(M, 3, inv3x3, inv3x3)
+
+
+def inv_spd9(M):
+    return _inv_spd_block(M, 3, inv3x3, inv_spd6)
+
+
+def inv_spd15(M):
+    """Closed-form batched 15x15 SPD inverse (nested 3x3 Schur blocks).
+
+    TPU-native replacement for batched LU on the frame optimizer's damped
+    normal equations: every operation is a small matmul or elementwise op
+    (MXU/VPU-friendly, trivially batchable over LM damping candidates),
+    whereas lax.linalg.lu serializes. Callers must Jacobi-normalize first
+    for f32 conditioning (see solve_spd15_jacobi)."""
+    return _inv_spd_block(M, 6, inv_spd6, inv_spd9)
+
+
+def solve_spd15_jacobi(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """x = H^-1 g for batched damped-SPD 15x15 systems, with Jacobi
+    pre/post-scaling for f32 robustness."""
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(H, axis1=-2, axis2=-1)), 1e-12))
+    Hn = H / (d[..., :, None] * d[..., None, :])
+    return (inv_spd15(Hn) @ (g / d)[..., None]).squeeze(-1) / d
+
+
 def _vis_residuals(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
     """Residual-only evaluation (no Jacobians) — used for LM cost checks."""
     s_o = _gather_kf(problem.kf, problem.obs_kf)

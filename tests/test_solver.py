@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from monoorbslam3_tpu.backend import residuals as res
 from monoorbslam3_tpu.backend.residuals import KfState, PreintEdge
+from monoorbslam3_tpu.backend import solver as sol
 from monoorbslam3_tpu.backend.solver import BAProblem, lm_solve, schur_ba
 from monoorbslam3_tpu.models.camera import Pinhole
 from monoorbslam3_tpu.models.imu import ImuCalib, preintegrate
@@ -279,3 +280,29 @@ def test_analytic_vis_jacobians_match_jacfwd():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(Jl), np.asarray(Jl_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_inv_spd15_matches_linalg():
+    """Closed-form nested-Schur 15x15 SPD solve vs jnp.linalg.solve on
+    LM-style damped normal matrices (incl. rank-deficient visual-only
+    shape: zero rows/cols on dims 6:15 except damping)."""
+    rng = np.random.default_rng(3)
+    # well-conditioned SPD batch
+    A = rng.normal(size=(4, 15, 15)).astype(np.float32)
+    H = A @ A.transpose(0, 2, 1) + 15 * np.eye(15, dtype=np.float32)
+    g = rng.normal(size=(4, 15)).astype(np.float32)
+    x_ref = np.linalg.solve(H, g[..., None]).squeeze(-1)
+    x = np.asarray(sol.solve_spd15_jacobi(jnp.asarray(H), jnp.asarray(g)))
+    assert np.allclose(x, x_ref, rtol=2e-3, atol=2e-4), np.abs(x - x_ref).max()
+
+    # visual-only shape: dims 6:15 only have tiny damping, g zero there
+    B = rng.normal(size=(4, 6, 6)).astype(np.float32)
+    H2 = np.zeros((4, 15, 15), np.float32)
+    H2[:, :6, :6] = B @ B.transpose(0, 2, 1) + 6 * np.eye(6, dtype=np.float32)
+    H2[:, range(6, 15), range(6, 15)] = 1e-8
+    g2 = np.zeros((4, 15), np.float32)
+    g2[:, :6] = rng.normal(size=(4, 6)).astype(np.float32)
+    x2_ref = np.linalg.solve(H2.astype(np.float64), g2.astype(np.float64)[..., None]).squeeze(-1)
+    x2 = np.asarray(sol.solve_spd15_jacobi(jnp.asarray(H2), jnp.asarray(g2)))
+    assert np.allclose(x2[:, :6], x2_ref[:, :6], rtol=2e-3, atol=2e-4)
+    assert np.allclose(x2[:, 6:], 0.0, atol=1e-5)
