@@ -324,8 +324,11 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         Hll = jnp.zeros((P, 3, 3), jnp.float32).at[pb.obs_pt].add(Hll_o)
         b_l = jnp.zeros((P, 3), jnp.float32).at[pb.obs_pt].add(bl_o)
 
-        # dense [P, K] W for the MXU-shaped Schur reduction
-        W_pk = jnp.zeros((P, K, 15, 3), jnp.float32).at[pb.obs_pt, pb.obs_kf].add(W_o)
+        # dense W for the MXU-shaped Schur reduction, scattered directly in
+        # [K, 15, P, 3] layout so the flattening to [K*15, P*3] below is a
+        # free reshape (no 50 MB transposes in the iteration loop)
+        W_kp = jnp.zeros((K, 15, P, 3), jnp.float32).at[
+            pb.obs_kf, :, pb.obs_pt, :].add(W_o)
 
         # ---- inertial + walk blocks ----
         for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e), (r_w, Jw1, Jw2, w_w)):
@@ -350,11 +353,11 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
             + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
         Hll_inv = inv3x3(Hll_d)
 
-        Y_pk = jnp.einsum("pkiv,pvw->pkiw", W_pk, Hll_inv)  # [P, K, 15, 3]
+        Y_kp = jnp.einsum("kipv,pvw->kipw", W_kp, Hll_inv)  # [K, 15, P, 3]
         # MXU-shaped reduction: flatten the tiny [15, 3] blocks into one big
         # [K*15, P*3] x [P*3, K*15] matmul instead of a block einsum
-        Y2 = Y_pk.transpose(1, 2, 0, 3).reshape(K * 15, P * 3)
-        W2 = W_pk.transpose(1, 2, 0, 3).reshape(K * 15, P * 3)
+        Y2 = Y_kp.reshape(K * 15, P * 3)
+        W2 = W_kp.reshape(K * 15, P * 3)
         # f32 MXU precision: the default bf16 matmul loses enough bits to
         # slow LM convergence measurably
         S_corr = jnp.matmul(Y2, W2.T, precision=jax.lax.Precision.HIGHEST
@@ -379,7 +382,7 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         dx_c = (jnp.linalg.solve(Sm_n, bm / d) / d).reshape(K, 15)
 
         # back-substitute landmarks
-        acc = jnp.einsum("pkiv,ki->pv", W_pk, dx_c)  # [P, 3]
+        acc = jnp.einsum("kipv,ki->pv", W_kp, dx_c)  # [P, 3]
         dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
         return dx_c, dx_l
 

@@ -124,7 +124,8 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         b_c = jnp.zeros((K, 15), jnp.float32).at[pb.obs_kf].add(bc_o)
         Hll = jnp.zeros((Pl, 3, 3), jnp.float32).at[pb.obs_pt].add(Hll_o)
         b_l = jnp.zeros((Pl, 3), jnp.float32).at[pb.obs_pt].add(bl_o)
-        W_pk = jnp.zeros((Pl, K, 15, 3), jnp.float32).at[pb.obs_pt, pb.obs_kf].add(W_o)
+        W_kp = jnp.zeros((K, 15, Pl, 3), jnp.float32).at[
+            pb.obs_kf, :, pb.obs_pt, :].add(W_o)
 
         # inertial + walk + priors contribute only to camera blocks; compute
         # on shard 0 to avoid double counting under the psum
@@ -151,9 +152,9 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
             + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
         Hll_inv = inv3x3(Hll_d)
-        Y_pk = jnp.einsum("pkiv,pvw->pkiw", W_pk, Hll_inv)
-        Y2 = Y_pk.transpose(1, 2, 0, 3).reshape(K * 15, Pl * 3)
-        W2 = W_pk.transpose(1, 2, 0, 3).reshape(K * 15, Pl * 3)
+        Y_kp = jnp.einsum("kipv,pvw->kipw", W_kp, Hll_inv)
+        Y2 = Y_kp.reshape(K * 15, Pl * 3)
+        W2 = W_kp.reshape(K * 15, Pl * 3)
         # f32 MXU precision: the default bf16 matmul loses enough bits to
         # slow LM convergence measurably
         S_corr = jnp.matmul(Y2, W2.T, precision=jax.lax.Precision.HIGHEST
@@ -175,7 +176,7 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         dx_c = (jnp.linalg.solve(Sm / d[:, None] / d[None, :], bm / d) / d).reshape(K, 15)
 
         # local landmark back-substitution
-        acc = jnp.einsum("pkiv,ki->pv", W_pk, dx_c)
+        acc = jnp.einsum("kipv,ki->pv", W_kp, dx_c)
         dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
         return dx_c, dx_l
 
