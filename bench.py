@@ -104,9 +104,15 @@ def jax_tree_gather(kf, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], kf)
 
 
-def bench_frontend(reps: int = 20):
+def bench_frontend(reps: int = 30):
     """ORB extraction + local-map Hamming match + pose-opt: one tracking
-    step (the reference's implicit real-time target, SURVEY.md §6)."""
+    step (the reference's implicit real-time target, SURVEY.md §6).
+
+    Dispatches are pipelined (single block at the end): the remote-tunnel
+    per-call RTT is bimodal (0.1 ms to ~30-50 ms depending on the minute)
+    and per-call blocking would measure tunnel weather, not the device.
+    A real deployment drives the chip host-side where dispatch overlaps
+    compute the same way."""
     import jax
 
     import __graft_entry__ as ge
@@ -117,7 +123,7 @@ def bench_frontend(reps: int = 20):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-        jax.block_until_ready(out)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     return 1.0 / dt
 
@@ -141,7 +147,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         kf, pts, info = schur_ba(problem, cam, R_cb, t_cb, n_iters=n_iters)
-        jax.block_until_ready((kf, pts))
+    jax.block_until_ready((kf, pts))  # pipelined: see bench_frontend note
     dt = (time.perf_counter() - t0) / reps
 
     iters_per_s = n_iters / dt
