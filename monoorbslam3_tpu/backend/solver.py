@@ -305,10 +305,11 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
     P = problem.points.shape[0]
 
     def solve_once(pb: BAProblem, lam):
-        r_v, Jc, Jl, w_v, chi2_v, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
-        r_e, J1, J2, w_e, _ = _inertial_linearize(pb)
-        r_w, Jw1, Jw2, w_w, _ = _walk_linearize(pb)
-        r_p, pr_inv_sigma, _ = _prior_linearize(pb)
+        r_v, Jc, Jl, w_v, chi2_v, c_vis = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
+        r_e, J1, J2, w_e, c_ie = _inertial_linearize(pb)
+        r_w, Jw1, Jw2, w_w, c_walk = _walk_linearize(pb)
+        r_p, pr_inv_sigma, c_prior = _prior_linearize(pb)
+        cost_here = c_vis + c_ie + c_walk + c_prior
 
         # ---- visual blocks ----
         JcW = Jc * w_v[:, None, None]  # [O, 2, 15]
@@ -376,34 +377,67 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
         bm = b.reshape(-1) * dof
 
-        # Jacobi preconditioning for f32 robustness
+        # Jacobi preconditioning for f32 robustness; the damped reduced
+        # system is SPD, so Cholesky (not LU) — measurably faster on TPU
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
         Sm_n = Sm / d[:, None] / d[None, :]
-        dx_c = (jnp.linalg.solve(Sm_n, bm / d) / d).reshape(K, 15)
+        L = jnp.linalg.cholesky(Sm_n)
+        dx_c = (jax.scipy.linalg.cho_solve((L, True), bm / d) / d).reshape(K, 15)
 
         # back-substitute landmarks
         acc = jnp.einsum("kipv,ki->pv", W_kp, dx_c)  # [P, 3]
         dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
-        return dx_c, dx_l
+        return dx_c, dx_l, cost_here
 
+    # Deferred-accept LM: the cost of a candidate state is read from the
+    # NEXT iteration's linearization pass instead of a dedicated residual
+    # pass after every step (which cost ~2.5 ms of the ~6.6 ms iteration).
+    # A rejected candidate reverts to the best state and only raises
+    # lambda — that iteration's step is discarded (its linearization was
+    # taken at the rejected point), costing one wasted pass only on the
+    # rare rejections instead of a cost pass on every iteration.
     def body(carry, _):
-        pb, lam, cost = carry
-        dx_c, dx_l = solve_once(pb, lam)
-        pb_new = _retract_problem(pb, dx_c, dx_l)
-        new_cost = _total_cost(pb_new, camera, R_cb, t_cb, huber_delta2)
-        improved = new_cost < cost
-        pb = jax.tree_util.tree_map(
+        pb_best, cost_best, pb_cur, lam = carry
+        dx_c, dx_l, cost_cur = solve_once(pb_cur, lam)
+        # <= not <: after a rejection pb_cur IS pb_best, and its
+        # re-linearized cost equals cost_best exactly — strict < would
+        # reject forever and stall the scan
+        improved = cost_cur <= cost_best
+        pick = lambda a, b: jax.tree_util.tree_map(
             lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
-            pb_new, pb,
-        )
-        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e6))
-        cost = jnp.where(improved, new_cost, cost)
-        return (pb, lam, cost), cost
+            a, b)
+        pb_base = pick(pb_cur, pb_best)
+        cost_base = jnp.where(improved, cost_cur, cost_best)
+        # strict improvement relaxes damping; an equality-accept is the
+        # revalidation pass after a rejection and keeps the raised lambda
+        lam = jnp.where(cost_cur < cost_best, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.where(improved, lam, jnp.minimum(lam * 5.0, 1e6)))
+        # step only from an accepted linearization point; a rejected
+        # iteration re-linearizes pb_best next round
+        pb_next = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
+            _retract_problem(pb_cur, dx_c, dx_l), pb_best)
+        return (pb_base, cost_base, pb_next, lam), cost_base
 
     cost0 = _total_cost(problem, camera, R_cb, t_cb, huber_delta2)
-    (pb, _, cost), cost_hist = jax.lax.scan(
-        body, (problem, jnp.float32(lambda0), cost0), None, length=n_iters
+    # cost_best starts at +inf (not cost0): the accept test must compare
+    # linearize-pass costs against linearize-pass costs only — comparing
+    # against the separately-fused _total_cost risks a one-ulp mismatch
+    # that would reject the very first (identical) state forever
+    (pb, cost, pb_last, _), cost_hist = jax.lax.scan(
+        body,
+        (problem, jnp.float32(jnp.inf), problem, jnp.float32(lambda0)),
+        None, length=n_iters,
     )
+    # the final candidate was never validated by a following linearize —
+    # one closing cost pass decides it
+    cost_last = _total_cost(pb_last, camera, R_cb, t_cb, huber_delta2)
+    final_improved = cost_last < cost
+    pb = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(final_improved, n, o) if n.dtype != jnp.bool_ else o,
+        pb_last, pb,
+    )
+    cost = jnp.where(final_improved, cost_last, cost)
 
     # final per-obs chi2 for inlier classification
     r_v, _, _, _, chi2, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
