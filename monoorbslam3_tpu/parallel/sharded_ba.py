@@ -109,7 +109,7 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         shard_id = jax.lax.axis_index(axis)
         pb = pb_local._replace(obs_pt=pb_local.obs_pt - shard_id * per_pt)
 
-        r_v, Jc, Jl, w_v, chi2_v, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
+        r_v, Jc, Jl, w_v, chi2_v, c_vis = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
         Pl = pb.points.shape[0]
 
         JcW = Jc * w_v[:, None, None]
@@ -129,9 +129,9 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
 
         # inertial + walk + priors contribute only to camera blocks; compute
         # on shard 0 to avoid double counting under the psum
-        r_e, J1, J2, w_e, _ = _inertial_linearize(pb)
-        r_w, Jw1, Jw2, w_w, _ = _walk_linearize(pb)
-        r_p, pr_inv_sigma, _ = _prior_linearize(pb)
+        r_e, J1, J2, w_e, c_ie = _inertial_linearize(pb)
+        r_w, Jw1, Jw2, w_w, c_walk = _walk_linearize(pb)
+        r_p, pr_inv_sigma, c_prior = _prior_linearize(pb)
         on0 = (shard_id == 0).astype(jnp.float32)
         for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e * on0), (r_w, Jw1, Jw2, w_w * on0)):
             JaW = Ja * ww[:, None, None]
@@ -178,31 +178,46 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         # local landmark back-substitution
         acc = jnp.einsum("kipv,ki->pv", W_kp, dx_c)
         dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
-        return dx_c, dx_l
+        # deferred-accept cost at the linearization point: visual part is
+        # per-shard, camera-only terms live on shard 0 — one psum totals it
+        cost_here = jax.lax.psum(
+            c_vis + (c_ie + c_walk + c_prior) * on0, axis)
+        return dx_c, dx_l, cost_here
 
     sharded_solve = shard_map(
         solve_once_local, mesh=mesh,
         in_specs=(in_specs, rep),
-        out_specs=(rep, pt_spec),
+        out_specs=(rep, pt_spec, rep),
         check_rep=False,
     )
 
+    # deferred-accept LM (see solver.schur_ba): the next iteration's
+    # linearize validates the carried candidate; no per-iteration
+    # replicated cost pass
     def body(carry, _):
-        pb, lam, cost = carry
-        dx_c, dx_l = sharded_solve(pb, lam)
-        pb_new = _retract_problem(pb, dx_c, dx_l)
-        new_cost = _total_cost(pb_new, camera, R_cb, t_cb, huber_delta2)
-        improved = new_cost < cost
-        pb = jax.tree_util.tree_map(
+        pb_best, cost_best, pb_cur, lam = carry
+        dx_c, dx_l, cost_cur = sharded_solve(pb_cur, lam)
+        improved = cost_cur <= cost_best
+        pick = lambda a, b: jax.tree_util.tree_map(
             lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
-            pb_new, pb,
-        )
-        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e6))
-        cost = jnp.where(improved, new_cost, cost)
-        return (pb, lam, cost), cost
+            a, b)
+        pb_base = pick(pb_cur, pb_best)
+        cost_base = jnp.where(improved, cost_cur, cost_best)
+        lam = jnp.where(cost_cur < cost_best, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.where(improved, lam, jnp.minimum(lam * 5.0, 1e6)))
+        pb_next = pick(_retract_problem(pb_cur, dx_c, dx_l), pb_best)
+        return (pb_base, cost_base, pb_next, lam), cost_base
 
     cost0 = _total_cost(problem, camera, R_cb, t_cb, huber_delta2)
-    (pb, _, cost), hist = jax.lax.scan(
-        body, (problem, jnp.float32(lambda0), cost0), None, length=n_iters
+    (pb, cost, pb_last, _), hist = jax.lax.scan(
+        body, (problem, jnp.float32(jnp.inf), problem, jnp.float32(lambda0)),
+        None, length=n_iters,
     )
+    cost_last = _total_cost(pb_last, camera, R_cb, t_cb, huber_delta2)
+    final_improved = cost_last < cost
+    pb = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(final_improved, n, o) if n.dtype != jnp.bool_ else o,
+        pb_last, pb,
+    )
+    cost = jnp.where(final_improved, cost_last, cost)
     return pb.kf, pb.points, {"cost0": cost0, "cost": cost, "cost_hist": hist}
