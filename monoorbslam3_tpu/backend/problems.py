@@ -29,6 +29,7 @@ import numpy as np
 
 from ..models.imu import ImuCalib, preintegrate
 from ..utils import lie
+from ..utils.precision import f32_matmuls
 from . import residuals as res
 from . import solver
 from .residuals import KfState, PreintEdge
@@ -51,6 +52,7 @@ CHI2_FRAME_DROP = 16.0
 
 
 @partial(jax.jit, static_argnames=("n_rounds", "n_iters", "use_inertial", "use_prior"))
+@f32_matmuls
 def _pose_optimize_impl(
     state0: KfState,
     pts, uv, inv_sigma2, valid,
@@ -529,6 +531,7 @@ class Problems:
 
 
 @partial(jax.jit, static_argnames=("n_iters", "with_scale"))
+@f32_matmuls
 def _inertial_init_impl(kf: KfState, edge: PreintEdge, R_wg0,
                         prior_inv_g, prior_inv_a,
                         n_iters: int = 60, with_scale: bool = True):

@@ -28,10 +28,15 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import lie
+from ..utils.precision import f32_matmuls
 from . import residuals as res
 from .residuals import KfState, PreintEdge
 
 CHI2_MONO = 5.991  # 2-DoF 95% gate (Optimize.cpp poseOptimize chi2)
+
+# damping candidates tried in parallel each LM iteration (relative to the
+# carried lambda): one relax step, hold, and two escalations
+LAM_GRID = jnp.array([0.2, 1.0, 5.0, 25.0], jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -39,6 +44,7 @@ CHI2_MONO = 5.991  # 2-DoF 95% gate (Optimize.cpp poseOptimize chi2)
 # ---------------------------------------------------------------------------
 
 
+@f32_matmuls
 def lm_solve(residual_fn, dim: int, n_iters: int = 10,
              lambda0: float = 1e-4, state=None):
     """Manifold LM on a problem expressed around a base state.
@@ -205,10 +211,14 @@ def _vis_linearize(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
 
     Jproj = camera.proj_jacobian(p_c)  # [O, 2, 3]
     Jproj_Rcb = jnp.einsum("oij,jk->oik", Jproj, R_cb)  # [O, 2, 3]
-    O = r0.shape[0]
-    Jc = jnp.zeros((O, 2, 15), jnp.float32)
-    Jc = Jc.at[:, :, 0:3].set(jnp.einsum("oij,ojk->oik", Jproj_Rcb, lie.hat(p_b)))
-    Jc = Jc.at[:, :, 3:6].set(-Jproj_Rcb)
+    # compact pose-block Jacobian: visual residuals touch only the 6 pose
+    # dims [dphi, dt] of the 15-dim KF tangent — keeping the zero columns
+    # out lets the whole Schur pipeline (W scatter, Y product, the reduced
+    # correction matmul) run on K*6 instead of K*15, a 2.5x saving
+    Jc = jnp.concatenate([
+        jnp.einsum("oij,ojk->oik", Jproj_Rcb, lie.hat(p_b)),
+        -Jproj_Rcb,
+    ], axis=-1)  # [O, 2, 6]
     R_cw = jnp.einsum("ij,okj->oik", R_cb, s_o.R_wb)  # [O, 3, 3]
     Jl = jnp.einsum("oij,ojk->oik", Jproj, R_cw)  # [O, 2, 3]
 
@@ -227,20 +237,57 @@ def _vis_linearize(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
 
 
 def _inertial_linearize(problem: BAProblem):
+    """Analytic Jacobians of the whitened 9-D preintegration residual wrt
+    the 15-dim right-multiplicative tangent of each endpoint — the same
+    hand derivation as the reference's EdgeInertial::linearizeOplus
+    (G2oTypes.cpp:358-445), batched over edges. Replacing the per-edge
+    `jacfwd` (30 forward re-evaluations of the residual, each a chain of
+    tiny kernels) with ~15 batched einsums removes most of the backend
+    linearization latency on TPU. Verified against jacfwd in
+    tests/test_solver.py::test_analytic_inertial_jacobians_match_jacfwd."""
     s1 = _gather_kf(problem.kf, problem.ie_i)
     s2 = _gather_kf(problem.kf, problem.ie_j)
+    e = problem.ie_edge
+    E = problem.ie_i.shape[0]
 
-    def r_fn(dx1, dx2, a, b, e):
-        return res.inertial_residual(res.retract_kf(a, dx1), res.retract_kf(b, dx2), e)
+    dbg = s1.bg - e.bg0
+    dR, dV, dP = e.corrected(s1.bg, s1.ba)
+    Rb1w = jnp.swapaxes(s1.R_wb, -1, -2)
+    dt = e.dt[..., None]
+    eR = jnp.swapaxes(dR, -1, -2) @ Rb1w @ s2.R_wb
+    er = lie.log_so3(eR)
+    dv_w = s2.v - s1.v - res.G_I * dt
+    ev_arg = jnp.einsum("eij,ej->ei", Rb1w, dv_w)
+    dp_w = s2.t_wb - s1.t_wb - s1.v * dt - 0.5 * res.G_I * dt * dt
+    ep_arg = jnp.einsum("eij,ej->ei", Rb1w, dp_w)
+    ev = ev_arg - dV
+    ep = ep_arg - dP
+    r0 = jnp.einsum("eij,ej->ei", e.L_inv, jnp.concatenate([er, ev, ep], -1))
 
-    z = jnp.zeros(15, jnp.float32)
+    invJr = lie.inv_right_jacobian_so3(er)
+    # d er / d dbg1: -invJr eR^T Jr(JRg dbg) JRg
+    der_dbg = -invJr @ jnp.swapaxes(eR, -1, -2) @ lie.right_jacobian_so3(
+        jnp.einsum("eij,ej->ei", e.JRg, dbg)) @ e.JRg
 
-    def per_edge(a, b, e):
-        r0 = r_fn(z, z, a, b, e)
-        J1, J2 = jax.jacfwd(r_fn, argnums=(0, 1))(z, z, a, b, e)
-        return r0, J1, J2
+    Z3 = jnp.zeros((E, 3, 3), jnp.float32)
+    R21 = jnp.swapaxes(s2.R_wb, -1, -2) @ s1.R_wb
 
-    r0, J1, J2 = jax.vmap(per_edge)(s1, s2, problem.ie_edge)
+    # unwhitened block rows [er; ev; ep] x cols [phi, dt, dv, dbg, dba]
+    J1 = jnp.concatenate([
+        jnp.concatenate([-invJr @ R21, Z3, Z3, der_dbg, Z3], -1),
+        jnp.concatenate([lie.hat(ev_arg), Z3, -Rb1w, -e.JVg, -e.JVa], -1),
+        jnp.concatenate([lie.hat(ep_arg), -jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), (E, 3, 3)), -Rb1w * dt[..., None],
+            -e.JPg, -e.JPa], -1),
+    ], -2)
+    J2 = jnp.concatenate([
+        jnp.concatenate([invJr, Z3, Z3, Z3, Z3], -1),
+        jnp.concatenate([Z3, Z3, Rb1w, Z3, Z3], -1),
+        jnp.concatenate([Z3, Rb1w @ s2.R_wb, Z3, Z3, Z3], -1),
+    ], -2)
+    J1 = e.L_inv @ J1
+    J2 = e.L_inv @ J2
+
     w = problem.ie_valid.astype(jnp.float32)
     cost = jnp.sum(w * jnp.sum(r0 * r0, axis=-1))
     return r0, J1, J2, w, cost
@@ -293,6 +340,7 @@ def _retract_problem(problem: BAProblem, dx_c, dx_l) -> BAProblem:
 
 
 @partial(jax.jit, static_argnames=("n_iters", "huber_delta2"))
+@f32_matmuls
 def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
              n_iters: int = 10, huber_delta2: float = CHI2_MONO,
              lambda0: float = 1e-4):
@@ -304,34 +352,53 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
     K = problem.kf_dof.shape[0]
     P = problem.points.shape[0]
 
-    def solve_once(pb: BAProblem, lam):
+    # One-hot observation incidences, hoisted out of the LM loop (the
+    # index sets are constant across iterations). TPU scatter-add
+    # serializes; expressing the Hessian-block scatters as one-hot matmuls
+    # keeps them on the MXU. One-hot entries are bf16-exact, so
+    # Precision.HIGH (bf16x3) reproduces the f32 sum exactly: with b_lo=0
+    # the passes reduce to (a_hi + a_lo) * b_hi = a * b.
+    Ek = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    Ep = (problem.obs_pt[:, None] == jnp.arange(P)[None, :]).astype(jnp.float32)
+    _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
+
+    def linearize_assemble(pb: BAProblem):
         r_v, Jc, Jl, w_v, chi2_v, c_vis = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
         r_e, J1, J2, w_e, c_ie = _inertial_linearize(pb)
         r_w, Jw1, Jw2, w_w, c_walk = _walk_linearize(pb)
         r_p, pr_inv_sigma, c_prior = _prior_linearize(pb)
         cost_here = c_vis + c_ie + c_walk + c_prior
+        O = r_v.shape[0]
 
-        # ---- visual blocks ----
-        JcW = Jc * w_v[:, None, None]  # [O, 2, 15]
-        Hc_diag = jnp.einsum("oik,oil->okl", JcW, Jc)  # per-obs [15,15]
-        Hll_o = jnp.einsum("oik,oil->okl", Jl * w_v[:, None, None], Jl)  # [O,3,3]
-        W_o = jnp.einsum("oik,oil->okl", JcW, Jl)  # [O, 15, 3]
-        bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)  # [O, 15]
-        bl_o = -jnp.einsum("oik,oi->ok", Jl * w_v[:, None, None], r_v)  # [O, 3]
+        # ---- visual blocks (Jc touches only the 6 pose dims) ----
+        JcW = Jc * w_v[:, None, None]  # [O, 2, 6]
+        JlW = Jl * w_v[:, None, None]  # [O, 2, 3]
+        Hc_o = jnp.einsum("oik,oil->okl", JcW, Jc)  # [O, 6, 6]
+        Hll_o = jnp.einsum("oik,oil->okl", JlW, Jl)  # [O, 3, 3]
+        W_o = jnp.einsum("oik,oil->okl", JcW, Jl)  # [O, 6, 3]
+        bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)  # [O, 6]
+        bl_o = -jnp.einsum("oik,oi->ok", JlW, r_v)  # [O, 3]
 
+        # per-KF diagonal blocks + gradient in one [K, O] x [O, 42] matmul
+        camk = _mm(Ek.T, jnp.concatenate([Hc_o.reshape(O, 36), bc_o], -1))
         Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
-        Hcc = Hcc.at[pb.obs_kf, pb.obs_kf].add(Hc_diag)
-        b_c = jnp.zeros((K, 15), jnp.float32).at[pb.obs_kf].add(bc_o)
-        Hll = jnp.zeros((P, 3, 3), jnp.float32).at[pb.obs_pt].add(Hll_o)
-        b_l = jnp.zeros((P, 3), jnp.float32).at[pb.obs_pt].add(bl_o)
+        diag_idx = jnp.arange(K)
+        Hcc = Hcc.at[diag_idx, diag_idx, :6, :6].add(camk[:, :36].reshape(K, 6, 6))
+        b_c = jnp.zeros((K, 15), jnp.float32).at[:, :6].set(camk[:, 36:])
 
-        # dense W for the MXU-shaped Schur reduction, scattered directly in
-        # [K, 15, P, 3] layout so the flattening to [K*15, P*3] below is a
-        # free reshape (no 50 MB transposes in the iteration loop)
-        W_kp = jnp.zeros((K, 15, P, 3), jnp.float32).at[
-            pb.obs_kf, :, pb.obs_pt, :].add(W_o)
+        # per-point blocks + gradient in one [P, O] x [O, 12] matmul
+        lmk = _mm(Ep.T, jnp.concatenate([Hll_o.reshape(O, 9), bl_o], -1))
+        Hll = lmk[:, :9].reshape(P, 3, 3)
+        b_l = lmk[:, 9:]
 
-        # ---- inertial + walk blocks ----
+        # dense pose-landmark coupling W in [P, K*6, 3] layout: expand the
+        # KF one-hot into the value rows, then one [P, O] x [O, K*18]
+        # matmul; downstream contractions use dot_general over (p, v)
+        # directly, so no large transposes materialize
+        D = (Ek[:, :, None] * W_o.reshape(O, 1, 18)).reshape(O, K * 18)
+        W_p = _mm(Ep.T, D).reshape(P, K * 6, 3)
+
+        # ---- inertial + walk blocks (E is tiny; scatter-add is fine) ----
         for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e), (r_w, Jw1, Jw2, w_w)):
             JaW = Ja * ww[:, None, None]
             JbW = Jb * ww[:, None, None]
@@ -344,100 +411,87 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
 
         # ---- priors (euclidean dims 6:15) ----
         pr_w2 = pr_inv_sigma * pr_inv_sigma  # [K, 9]
-        diag_idx = jnp.arange(K)
         pr_full = jnp.zeros((K, 15), jnp.float32).at[:, 6:15].set(pr_w2)
         Hcc = Hcc.at[diag_idx, diag_idx].add(jax.vmap(jnp.diag)(pr_full))
         b_c = b_c.at[:, 6:15].add(-pr_inv_sigma * r_p)
 
-        # ---- Schur elimination of landmarks ----
+        # ---- Schur elimination of landmarks (6-dim pose blocks only) ----
+        # Landmark damping is LAMBDA-INDEPENDENT (small fixed relative
+        # damping) so the whole Schur pipeline runs ONCE per linearization
+        # and only the cheap reduced solve repeats across the damping grid
         Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
-            + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
+            + 1e-3 * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
         Hll_inv = inv3x3(Hll_d)
 
-        Y_kp = jnp.einsum("kipv,pvw->kipw", W_kp, Hll_inv)  # [K, 15, P, 3]
-        # MXU-shaped reduction: flatten the tiny [15, 3] blocks into one big
-        # [K*15, P*3] x [P*3, K*15] matmul instead of a block einsum
-        Y2 = Y_kp.reshape(K * 15, P * 3)
-        W2 = W_kp.reshape(K * 15, P * 3)
+        Y_p = jnp.einsum("pkv,pvw->pkw", W_p, Hll_inv)  # [P, K*6, 3]
         # f32 MXU precision: the default bf16 matmul loses enough bits to
         # slow LM convergence measurably
-        S_corr = jnp.matmul(Y2, W2.T, precision=jax.lax.Precision.HIGHEST
-                            ).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
-        b_corr = jnp.matmul(Y2, b_l.reshape(P * 3),
-                            precision=jax.lax.Precision.HIGHEST).reshape(K, 15)
+        S6 = jax.lax.dot_general(
+            Y_p, W_p, (((0, 2), (0, 2)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # [K*6, K*6]
+        b6 = jnp.einsum("pkv,pv->k", Y_p, b_l)  # [K*6]
 
-        S = Hcc - S_corr
-        b = b_c - b_corr
+        S = Hcc.at[:, :, :6, :6].add(
+            -S6.reshape(K, 6, K, 6).transpose(0, 2, 1, 3))
+        b = b_c.at[:, :6].add(-b6.reshape(K, 6))
 
-        # LM damping + DOF masking on the reduced system
+        # DOF masking on the reduced system (fixed KFs get unit diagonal)
         Sm = S.transpose(0, 2, 1, 3).reshape(K * 15, K * 15)
-        diag = jnp.diagonal(Sm)
-        Sm = Sm + jnp.diag(lam * jnp.maximum(diag, 1e-8))
         dof = problem.kf_dof.reshape(-1)
         Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
         bm = b.reshape(-1) * dof
+        return Sm, bm, W_p, Hll_inv, b_l, cost_here
 
+    def solve_reduced(Sm, bm, lam):
+        Sd = Sm + jnp.diag(lam * jnp.maximum(jnp.diagonal(Sm), 1e-8))
         # Jacobi preconditioning for f32 robustness; the damped reduced
         # system is SPD, so Cholesky (not LU) — measurably faster on TPU
-        d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
-        Sm_n = Sm / d[:, None] / d[None, :]
-        L = jnp.linalg.cholesky(Sm_n)
-        dx_c = (jax.scipy.linalg.cho_solve((L, True), bm / d) / d).reshape(K, 15)
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
+        Sd_n = Sd / d[:, None] / d[None, :]
+        L = jnp.linalg.cholesky(Sd_n)
+        return (jax.scipy.linalg.cho_solve((L, True), bm / d) / d).reshape(K, 15)
 
-        # back-substitute landmarks
-        acc = jnp.einsum("kipv,ki->pv", W_kp, dx_c)  # [P, 3]
-        dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
-        return dx_c, dx_l, cost_here
-
-    # Deferred-accept LM: the cost of a candidate state is read from the
-    # NEXT iteration's linearization pass instead of a dedicated residual
-    # pass after every step (which cost ~2.5 ms of the ~6.6 ms iteration).
-    # A rejected candidate reverts to the best state and only raises
-    # lambda — that iteration's step is discarded (its linearization was
-    # taken at the rejected point), costing one wasted pass only on the
-    # rare rejections instead of a cost pass on every iteration.
+    # Parallel-lambda LM: one linearization per iteration; the reduced
+    # 15K-dim system is solved at a grid of 4 dampings simultaneously
+    # (batched Cholesky), all 4 candidates are costed in one batched
+    # residual pass, and the argmin is accepted if it improves. Every
+    # iteration makes progress — no reject/re-linearize cadence — and the
+    # expensive landmark elimination is never repeated per damping.
     def body(carry, _):
-        pb_best, cost_best, pb_cur, lam = carry
-        dx_c, dx_l, cost_cur = solve_once(pb_cur, lam)
-        # <= not <: after a rejection pb_cur IS pb_best, and its
-        # re-linearized cost equals cost_best exactly — strict < would
-        # reject forever and stall the scan
-        improved = cost_cur <= cost_best
-        pick = lambda a, b: jax.tree_util.tree_map(
-            lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
-            a, b)
-        pb_base = pick(pb_cur, pb_best)
-        cost_base = jnp.where(improved, cost_cur, cost_best)
-        # strict improvement relaxes damping; an equality-accept is the
-        # revalidation pass after a rejection and keeps the raised lambda
-        lam = jnp.where(cost_cur < cost_best, jnp.maximum(lam * 0.5, 1e-9),
-                        jnp.where(improved, lam, jnp.minimum(lam * 5.0, 1e6)))
-        # step only from an accepted linearization point; a rejected
-        # iteration re-linearizes pb_best next round
-        pb_next = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
-            _retract_problem(pb_cur, dx_c, dx_l), pb_best)
-        return (pb_base, cost_base, pb_next, lam), cost_base
+        kf, pts, lam, _cost = carry
+        pb = problem._replace(kf=kf, points=pts)
+        Sm, bm, W_p, Hll_inv, b_l, cost_lin = linearize_assemble(pb)
+
+        lams = lam * LAM_GRID
+        dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
+        acc4 = jnp.einsum("pkv,ck->cpv", W_p,
+                          dxc4[:, :, :6].reshape(4, K * 6))  # [4, P, 3]
+        dxl4 = jnp.einsum("pvw,cpw->cpv", Hll_inv, b_l[None] - acc4)
+
+        kf4 = jax.vmap(lambda dc: res.retract_kf(kf, dc * problem.kf_dof))(dxc4)
+        pts4 = pts[None] + dxl4 * problem.pt_active[None, :, None]
+        cost4 = jax.vmap(lambda k_, p_: _total_cost(
+            problem._replace(kf=k_, points=p_), camera, R_cb, t_cb,
+            huber_delta2))(kf4, pts4)
+
+        i = jnp.argmin(cost4)
+        best = cost4[i]
+        improved = best < cost_lin
+        kf = jax.tree_util.tree_map(
+            lambda c, o: jnp.where(improved, c[i], o), kf4, kf)
+        pts = jnp.where(improved, pts4[i], pts)
+        lam = jnp.where(improved, jnp.clip(lams[i], 1e-9, 1e4),
+                        jnp.minimum(lam * 25.0, 1e8))
+        cost = jnp.where(improved, best, cost_lin)
+        return (kf, pts, lam, cost), cost
 
     cost0 = _total_cost(problem, camera, R_cb, t_cb, huber_delta2)
-    # cost_best starts at +inf (not cost0): the accept test must compare
-    # linearize-pass costs against linearize-pass costs only — comparing
-    # against the separately-fused _total_cost risks a one-ulp mismatch
-    # that would reject the very first (identical) state forever
-    (pb, cost, pb_last, _), cost_hist = jax.lax.scan(
+    (kf_f, pts_f, _, cost), cost_hist = jax.lax.scan(
         body,
-        (problem, jnp.float32(jnp.inf), problem, jnp.float32(lambda0)),
+        (problem.kf, problem.points, jnp.float32(lambda0), cost0),
         None, length=n_iters,
     )
-    # the final candidate was never validated by a following linearize —
-    # one closing cost pass decides it
-    cost_last = _total_cost(pb_last, camera, R_cb, t_cb, huber_delta2)
-    final_improved = cost_last < cost
-    pb = jax.tree_util.tree_map(
-        lambda n, o: jnp.where(final_improved, n, o) if n.dtype != jnp.bool_ else o,
-        pb_last, pb,
-    )
-    cost = jnp.where(final_improved, cost_last, cost)
+    pb = problem._replace(kf=kf_f, points=pts_f)
 
     # final per-obs chi2 for inlier classification
     r_v, _, _, _, chi2, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
@@ -447,3 +501,5 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         "cost_hist": cost_hist,
         "obs_chi2": chi2,
     }
+
+

@@ -166,7 +166,9 @@ def preintegrate(
     return final
 
 
-preintegrate_jit = jax.jit(preintegrate)
+from ..utils.precision import f32_matmuls
+
+preintegrate_jit = jax.jit(f32_matmuls(preintegrate))
 
 
 class ImuBuffer:

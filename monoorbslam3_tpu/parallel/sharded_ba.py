@@ -30,9 +30,10 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..backend import residuals as res
+from ..utils.precision import f32_matmuls
 from ..backend.solver import (
-    BAProblem, CHI2_MONO, _gather_kf, _inertial_linearize, _prior_linearize,
-    _retract_problem, _total_cost, _vis_linearize, _walk_linearize, inv3x3,
+    BAProblem, CHI2_MONO, LAM_GRID, _gather_kf, _inertial_linearize,
+    _prior_linearize, _vis_linearize, _vis_residuals, _walk_linearize, inv3x3,
 )
 
 
@@ -76,6 +77,7 @@ def shard_problem_by_point(problem: BAProblem, n_shards: int) -> BAProblem:
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_iters", "huber_delta2"))
+@f32_matmuls
 def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
                      n_iters: int = 8, huber_delta2: float = CHI2_MONO,
                      lambda0: float = 1e-4):
@@ -103,121 +105,162 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
     n_shards = mesh.devices.size
     per_pt = P_total // n_shards
 
-    def solve_once_local(pb_local: BAProblem, lam):
-        """Runs per-device on the local obs/point shard; camera states are
-        replicated. Local obs_pt indices are global — rebase them."""
+    def run_local(pb_local: BAProblem):
+        """The FULL parallel-lambda LM loop, per-device on the local
+        obs/point shard; camera states are replicated, reductions ride one
+        psum per stage. Local obs_pt indices are global — rebase them."""
         shard_id = jax.lax.axis_index(axis)
-        pb = pb_local._replace(obs_pt=pb_local.obs_pt - shard_id * per_pt)
-
-        r_v, Jc, Jl, w_v, chi2_v, c_vis = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
-        Pl = pb.points.shape[0]
-
-        JcW = Jc * w_v[:, None, None]
-        Hc_diag = jnp.einsum("oik,oil->okl", JcW, Jc)
-        Hll_o = jnp.einsum("oik,oil->okl", Jl * w_v[:, None, None], Jl)
-        W_o = jnp.einsum("oik,oil->okl", JcW, Jl)
-        bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)
-        bl_o = -jnp.einsum("oik,oi->ok", Jl * w_v[:, None, None], r_v)
-
-        Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
-        Hcc = Hcc.at[pb.obs_kf, pb.obs_kf].add(Hc_diag)
-        b_c = jnp.zeros((K, 15), jnp.float32).at[pb.obs_kf].add(bc_o)
-        Hll = jnp.zeros((Pl, 3, 3), jnp.float32).at[pb.obs_pt].add(Hll_o)
-        b_l = jnp.zeros((Pl, 3), jnp.float32).at[pb.obs_pt].add(bl_o)
-        W_kp = jnp.zeros((K, 15, Pl, 3), jnp.float32).at[
-            pb.obs_kf, :, pb.obs_pt, :].add(W_o)
-
-        # inertial + walk + priors contribute only to camera blocks; compute
-        # on shard 0 to avoid double counting under the psum
-        r_e, J1, J2, w_e, c_ie = _inertial_linearize(pb)
-        r_w, Jw1, Jw2, w_w, c_walk = _walk_linearize(pb)
-        r_p, pr_inv_sigma, c_prior = _prior_linearize(pb)
+        pb0 = pb_local._replace(obs_pt=pb_local.obs_pt - shard_id * per_pt)
+        Pl = pb0.points.shape[0]
+        Ol = pb0.obs_kf.shape[0]
         on0 = (shard_id == 0).astype(jnp.float32)
-        for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e * on0), (r_w, Jw1, Jw2, w_w * on0)):
-            JaW = Ja * ww[:, None, None]
-            JbW = Jb * ww[:, None, None]
-            Hcc = Hcc.at[pb.ie_i, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JaW, Ja))
-            Hcc = Hcc.at[pb.ie_i, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JaW, Jb))
-            Hcc = Hcc.at[pb.ie_j, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JbW, Ja))
-            Hcc = Hcc.at[pb.ie_j, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JbW, Jb))
-            b_c = b_c.at[pb.ie_i].add(-jnp.einsum("eik,ei->ek", JaW, rr))
-            b_c = b_c.at[pb.ie_j].add(-jnp.einsum("eik,ei->ek", JbW, rr))
+        dof = pb0.kf_dof.reshape(-1)
         diag_idx = jnp.arange(K)
-        pr_w2 = (pr_inv_sigma * pr_inv_sigma) * on0
-        pr_full = jnp.zeros((K, 15), jnp.float32).at[:, 6:15].set(pr_w2)
-        Hcc = Hcc.at[diag_idx, diag_idx].add(jax.vmap(jnp.diag)(pr_full))
-        b_c = b_c.at[:, 6:15].add(-pr_inv_sigma * r_p * on0)
 
-        # local landmark elimination
-        Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
-            + lam * jax.vmap(jnp.diag)(jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
-        Hll_inv = inv3x3(Hll_d)
-        Y_kp = jnp.einsum("kipv,pvw->kipw", W_kp, Hll_inv)
-        Y2 = Y_kp.reshape(K * 15, Pl * 3)
-        W2 = W_kp.reshape(K * 15, Pl * 3)
-        # f32 MXU precision: the default bf16 matmul loses enough bits to
-        # slow LM convergence measurably
-        S_corr = jnp.matmul(Y2, W2.T, precision=jax.lax.Precision.HIGHEST
-                            ).reshape(K, 15, K, 15).transpose(0, 2, 1, 3)
-        b_corr = jnp.matmul(Y2, b_l.reshape(Pl * 3),
-                            precision=jax.lax.Precision.HIGHEST).reshape(K, 15)
+        # one-hot incidences (local shard); scatter-add serializes on TPU,
+        # one-hot matmuls ride the MXU (exact at Precision.HIGH — one-hot
+        # entries are bf16-exact, see solver.schur_ba)
+        Ek = (pb0.obs_kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+        Ep = (pb0.obs_pt[:, None] == jnp.arange(Pl)[None, :]).astype(jnp.float32)
+        _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
 
-        # --- the distributed reduction: one psum over ICI ---
-        S = jax.lax.psum(Hcc - S_corr, axis)
-        b = jax.lax.psum(b_c - b_corr, axis)
+        def total_cost_partial(kf, pts):
+            """Per-shard cost partial: local visual part + camera-only
+            terms on shard 0; caller psums."""
+            pb = pb0._replace(kf=kf, points=pts)
+            _, c_vis = _vis_residuals(pb, camera, R_cb, t_cb, huber_delta2)
+            s1 = _gather_kf(kf, pb.ie_i)
+            s2 = _gather_kf(kf, pb.ie_j)
+            r_e = res.inertial_residual(s1, s2, pb.ie_edge)
+            c_ie = jnp.sum(pb.ie_valid.astype(jnp.float32) * jnp.sum(r_e * r_e, -1))
+            r_w = res.bias_walk_residual(s1, s2, pb.walk_inv_sigma)
+            c_walk = jnp.sum(pb.walk_valid.astype(jnp.float32) * jnp.sum(r_w * r_w, -1))
+            _, _, c_prior = _prior_linearize(pb)
+            return c_vis + (c_ie + c_walk + c_prior) * on0
 
-        Sm = S.transpose(0, 2, 1, 3).reshape(K * 15, K * 15)
-        diag = jnp.diagonal(Sm)
-        Sm = Sm + jnp.diag(lam * jnp.maximum(diag, 1e-8))
-        dof = pb.kf_dof.reshape(-1)
-        Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
-        bm = b.reshape(-1) * dof
-        d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
-        dx_c = (jnp.linalg.solve(Sm / d[:, None] / d[None, :], bm / d) / d).reshape(K, 15)
+        def linearize_assemble(kf, pts):
+            pb = pb0._replace(kf=kf, points=pts)
+            r_v, Jc, Jl, w_v, chi2_v, c_vis = _vis_linearize(
+                pb, camera, R_cb, t_cb, huber_delta2)
 
-        # local landmark back-substitution
-        acc = jnp.einsum("kipv,ki->pv", W_kp, dx_c)
-        dx_l = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
-        # deferred-accept cost at the linearization point: visual part is
-        # per-shard, camera-only terms live on shard 0 — one psum totals it
-        cost_here = jax.lax.psum(
-            c_vis + (c_ie + c_walk + c_prior) * on0, axis)
-        return dx_c, dx_l, cost_here
+            JcW = Jc * w_v[:, None, None]  # [O, 2, 6]
+            JlW = Jl * w_v[:, None, None]
+            Hc_o = jnp.einsum("oik,oil->okl", JcW, Jc)  # [O, 6, 6]
+            Hll_o = jnp.einsum("oik,oil->okl", JlW, Jl)
+            W_o = jnp.einsum("oik,oil->okl", JcW, Jl)  # [O, 6, 3]
+            bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)
+            bl_o = -jnp.einsum("oik,oi->ok", JlW, r_v)
 
-    sharded_solve = shard_map(
-        solve_once_local, mesh=mesh,
-        in_specs=(in_specs, rep),
-        out_specs=(rep, pt_spec, rep),
+            camk = _mm(Ek.T, jnp.concatenate([Hc_o.reshape(Ol, 36), bc_o], -1))
+            Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
+            Hcc = Hcc.at[diag_idx, diag_idx, :6, :6].add(
+                camk[:, :36].reshape(K, 6, 6))
+            b_c = jnp.zeros((K, 15), jnp.float32).at[:, :6].set(camk[:, 36:])
+
+            lmk = _mm(Ep.T, jnp.concatenate([Hll_o.reshape(Ol, 9), bl_o], -1))
+            Hll = lmk[:, :9].reshape(Pl, 3, 3)
+            b_l = lmk[:, 9:]
+
+            D = (Ek[:, :, None] * W_o.reshape(Ol, 1, 18)).reshape(Ol, K * 18)
+            W_p = _mm(Ep.T, D).reshape(Pl, K * 6, 3)
+
+            # inertial + walk + priors touch only camera blocks; weight by
+            # on0 so the psum does not double count
+            r_e, J1, J2, w_e, c_ie = _inertial_linearize(pb)
+            r_w, Jw1, Jw2, w_w, c_walk = _walk_linearize(pb)
+            r_p, pr_inv_sigma, c_prior = _prior_linearize(pb)
+            for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e * on0),
+                                     (r_w, Jw1, Jw2, w_w * on0)):
+                JaW = Ja * ww[:, None, None]
+                JbW = Jb * ww[:, None, None]
+                Hcc = Hcc.at[pb.ie_i, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JaW, Ja))
+                Hcc = Hcc.at[pb.ie_i, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JaW, Jb))
+                Hcc = Hcc.at[pb.ie_j, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JbW, Ja))
+                Hcc = Hcc.at[pb.ie_j, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JbW, Jb))
+                b_c = b_c.at[pb.ie_i].add(-jnp.einsum("eik,ei->ek", JaW, rr))
+                b_c = b_c.at[pb.ie_j].add(-jnp.einsum("eik,ei->ek", JbW, rr))
+            pr_w2 = (pr_inv_sigma * pr_inv_sigma) * on0
+            pr_full = jnp.zeros((K, 15), jnp.float32).at[:, 6:15].set(pr_w2)
+            Hcc = Hcc.at[diag_idx, diag_idx].add(jax.vmap(jnp.diag)(pr_full))
+            b_c = b_c.at[:, 6:15].add(-pr_inv_sigma * r_p * on0)
+
+            # local landmark elimination; damping is lambda-independent
+            # (small fixed relative term, see solver.schur_ba) so the Schur
+            # pipeline runs once per linearization
+            Hll_d = Hll + 1e-6 * jnp.eye(3, dtype=jnp.float32)[None] \
+                + 1e-3 * jax.vmap(jnp.diag)(
+                    jnp.maximum(jax.vmap(jnp.diagonal)(Hll), 1e-8))
+            Hll_inv = inv3x3(Hll_d)
+            Y_p = jnp.einsum("pkv,pvw->pkw", W_p, Hll_inv)  # [Pl, K*6, 3]
+            # f32 MXU precision: the default bf16 matmul loses enough bits
+            # to slow LM convergence measurably
+            S6 = jax.lax.dot_general(
+                Y_p, W_p, (((0, 2), (0, 2)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)  # [K*6, K*6]
+            b6 = jnp.einsum("pkv,pv->k", Y_p, b_l)
+
+            S_local = Hcc.at[:, :, :6, :6].add(
+                -S6.reshape(K, 6, K, 6).transpose(0, 2, 1, 3))
+            b_local = b_c.at[:, :6].add(-b6.reshape(K, 6))
+
+            # --- the distributed reduction: one psum over ICI ---
+            S = jax.lax.psum(S_local, axis)
+            b = jax.lax.psum(b_local, axis)
+            c_lin = jax.lax.psum(
+                c_vis + (c_ie + c_walk + c_prior) * on0, axis)
+
+            Sm = S.transpose(0, 2, 1, 3).reshape(K * 15, K * 15)
+            Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
+            bm = b.reshape(-1) * dof
+            return Sm, bm, W_p, Hll_inv, b_l, c_lin
+
+        def solve_reduced(Sm, bm, lam):
+            Sd = Sm + jnp.diag(lam * jnp.maximum(jnp.diagonal(Sm), 1e-8))
+            d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
+            return (jnp.linalg.solve(Sd / d[:, None] / d[None, :], bm / d)
+                    / d).reshape(K, 15)
+
+        # parallel-lambda LM (mirrors solver.schur_ba): 4 dampings solved
+        # on the replicated reduced system, candidates costed in one
+        # distributed batched pass, argmin accepted if it improves
+        def body(carry, _):
+            kf, pts, lam, _cost = carry
+            Sm, bm, W_p, Hll_inv, b_l, cost_lin = linearize_assemble(kf, pts)
+
+            lams = lam * LAM_GRID
+            dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
+            acc4 = jnp.einsum("pkv,ck->cpv", W_p,
+                              dxc4[:, :, :6].reshape(4, K * 6))
+            dxl4 = jnp.einsum("pvw,cpw->cpv", Hll_inv, b_l[None] - acc4)
+
+            kf4 = jax.vmap(lambda dc: res.retract_kf(kf, dc * pb0.kf_dof))(dxc4)
+            pts4 = pts[None] + dxl4 * pb0.pt_active[None, :, None]
+            part4 = jax.vmap(total_cost_partial)(kf4, pts4)
+            cost4 = jax.lax.psum(part4, axis)
+
+            i = jnp.argmin(cost4)
+            best = cost4[i]
+            improved = best < cost_lin
+            kf = jax.tree_util.tree_map(
+                lambda c, o: jnp.where(improved, c[i], o), kf4, kf)
+            pts = jnp.where(improved, pts4[i], pts)
+            lam = jnp.where(improved, jnp.clip(lams[i], 1e-9, 1e4),
+                            jnp.minimum(lam * 25.0, 1e8))
+            cost = jnp.where(improved, best, cost_lin)
+            return (kf, pts, lam, cost), cost
+
+        cost0 = jax.lax.psum(total_cost_partial(pb0.kf, pb0.points), axis)
+        (kf_f, pts_f, _, cost), hist = jax.lax.scan(
+            body, (pb0.kf, pb0.points, jnp.float32(lambda0), cost0),
+            None, length=n_iters,
+        )
+        return kf_f, pts_f, cost0, cost, hist
+
+    kf, pts, cost0, cost, hist = shard_map(
+        run_local, mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=(jax.tree_util.tree_map(lambda _: rep, problem.kf),
+                   pt_spec, rep, rep, rep),
         check_rep=False,
-    )
-
-    # deferred-accept LM (see solver.schur_ba): the next iteration's
-    # linearize validates the carried candidate; no per-iteration
-    # replicated cost pass
-    def body(carry, _):
-        pb_best, cost_best, pb_cur, lam = carry
-        dx_c, dx_l, cost_cur = sharded_solve(pb_cur, lam)
-        improved = cost_cur <= cost_best
-        pick = lambda a, b: jax.tree_util.tree_map(
-            lambda n, o: jnp.where(improved, n, o) if n.dtype != jnp.bool_ else o,
-            a, b)
-        pb_base = pick(pb_cur, pb_best)
-        cost_base = jnp.where(improved, cost_cur, cost_best)
-        lam = jnp.where(cost_cur < cost_best, jnp.maximum(lam * 0.5, 1e-9),
-                        jnp.where(improved, lam, jnp.minimum(lam * 5.0, 1e6)))
-        pb_next = pick(_retract_problem(pb_cur, dx_c, dx_l), pb_best)
-        return (pb_base, cost_base, pb_next, lam), cost_base
-
-    cost0 = _total_cost(problem, camera, R_cb, t_cb, huber_delta2)
-    (pb, cost, pb_last, _), hist = jax.lax.scan(
-        body, (problem, jnp.float32(jnp.inf), problem, jnp.float32(lambda0)),
-        None, length=n_iters,
-    )
-    cost_last = _total_cost(pb_last, camera, R_cb, t_cb, huber_delta2)
-    final_improved = cost_last < cost
-    pb = jax.tree_util.tree_map(
-        lambda n, o: jnp.where(final_improved, n, o) if n.dtype != jnp.bool_ else o,
-        pb_last, pb,
-    )
-    cost = jnp.where(final_improved, cost_last, cost)
-    return pb.kf, pb.points, {"cost0": cost0, "cost": cost, "cost_hist": hist}
+    )(problem)
+    return kf, pts, {"cost0": cost0, "cost": cost, "cost_hist": hist}

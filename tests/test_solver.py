@@ -276,10 +276,46 @@ def test_analytic_vis_jacobians_match_jacfwd():
         return jax.jacfwd(r_fn, argnums=(0, 1))(z15, z3, s, p, uv)
 
     Jc_ref, Jl_ref = jax.vmap(per_obs)(s_o, p_o, problem.obs_uv)
-    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ref),
+    # Jc is the compact pose block [O, 2, 6]; the remaining 9 tangent dims
+    # (v, bg, ba) must have exactly zero reprojection Jacobian
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ref[:, :, :6]),
                                rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jc_ref[:, :, 6:]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(Jl), np.asarray(Jl_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_analytic_inertial_jacobians_match_jacfwd():
+    """The hand-derived whitened preintegration-edge Jacobians in
+    _inertial_linearize must match autodiff through the retraction."""
+    import jax
+    from monoorbslam3_tpu.backend import solver as S
+
+    problem, _, _ = _build_ba_problem(n_kf=5, n_pts=32, perturb=True)
+    r0, J1, J2, w, cost = S._inertial_linearize(problem)
+
+    s1 = S._gather_kf(problem.kf, problem.ie_i)
+    s2 = S._gather_kf(problem.kf, problem.ie_j)
+
+    def r_fn(dx1, dx2, a, b, e):
+        return res.inertial_residual(
+            res.retract_kf(a, dx1), res.retract_kf(b, dx2), e)
+
+    z = jnp.zeros(15, jnp.float32)
+
+    def per_edge(a, b, e):
+        r = r_fn(z, z, a, b, e)
+        Ja, Jb = jax.jacfwd(r_fn, argnums=(0, 1))(z, z, a, b, e)
+        return r, Ja, Jb
+
+    r_ref, J1_ref, J2_ref = jax.vmap(per_edge)(s1, s2, problem.ie_edge)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r_ref),
+                               rtol=1e-4, atol=1e-4)
+    scale = np.abs(np.asarray(J1_ref)).max()
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J1_ref),
+                               rtol=1e-3, atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J2_ref),
+                               rtol=1e-3, atol=1e-4 * scale)
 
 
 def test_inv_spd15_matches_linalg():
