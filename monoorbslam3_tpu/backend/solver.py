@@ -172,6 +172,29 @@ def inv_spd15(M):
     return _inv_spd_block(M, 6, inv_spd6, inv_spd9)
 
 
+def inv_spd_blocks15(M: jnp.ndarray, kb: int) -> jnp.ndarray:
+    """SPD inverse of a [..., 15*kb, 15*kb] matrix by recursing the
+    blockwise Schur identity down to closed-form 15-dim blocks.
+
+    The whole inverse is ~2*log2(kb) levels of dense matmuls
+    (MXU-parallel, trivially batchable), vs the panel-serial blocked
+    Cholesky XLA emits (0.8 ms for a [4, 480, 480] batch vs ~0.25 ms for
+    this recursion on v5e). CAUTION: on visual-inertial reduced camera
+    systems the post-Jacobi conditioning defeats this closed form in f32
+    (velocity errors 3x the Cholesky path, not repairable by iterative
+    refinement or Newton-Schulz — measured 2026-08-17), which is why
+    schur_ba uses Cholesky. Kept for well-conditioned dense SPD uses;
+    callers must Jacobi-normalize + damp first."""
+    if kb == 1:
+        return inv_spd15(M)
+    k1 = (kb + 1) // 2
+    return _inv_spd_block(
+        M, 15 * k1,
+        lambda A: inv_spd_blocks15(A, k1),
+        lambda Sx: inv_spd_blocks15(Sx, kb - k1),
+    )
+
+
 def solve_spd15_jacobi(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """x = H^-1 g for batched damped-SPD 15x15 systems, with Jacobi
     pre/post-scaling for f32 robustness."""
@@ -180,15 +203,29 @@ def solve_spd15_jacobi(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return (inv_spd15(Hn) @ (g / d)[..., None]).squeeze(-1) / d
 
 
-def _vis_residuals(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
-    """Residual-only evaluation (no Jacobians) — used for LM cost checks."""
+def _vis_residuals(problem: BAProblem, camera, R_cb, t_cb, huber_delta2,
+                   valid_override=None):
+    """Residual-only evaluation (no Jacobians) — used for LM cost checks.
+
+    `valid_override`: evaluate the cost over THIS observation set instead
+    of the state-dependent depth gate. LM candidate costing must pass the
+    linearization state's mask: with the state-dependent gate, a garbage
+    step that flings points behind the cameras silently REMOVES their
+    observations from the cost and gets accepted on an artificially tiny
+    value (measured: cost 0.01 with 2.5-degree pose errors). Under a fixed
+    mask, cheirality-breaking candidates instead produce huge/non-finite
+    chi2, which is clipped to a large penalty and rejected."""
     s_o = _gather_kf(problem.kf, problem.obs_kf)
     p_o = problem.points[problem.obs_pt]
     r0 = res.reprojection_residual(s_o, p_o, problem.obs_uv, camera, R_cb, t_cb)
     depth = res.point_depth(s_o, p_o, R_cb, t_cb)
-    base_valid = problem.obs_valid & (depth > 0.05)
+    if valid_override is None:
+        valid = problem.obs_valid & (depth > 0.05)
+    else:
+        valid = valid_override
     chi2 = jnp.sum(r0 * r0, axis=-1) * problem.obs_inv_sigma2
-    cost = jnp.sum(jnp.where(base_valid, res.huber_cost(chi2, huber_delta2), 0.0))
+    chi2 = jnp.where(jnp.isfinite(chi2) & (depth > 1e-4), chi2, 1e12)
+    cost = jnp.sum(jnp.where(valid, res.huber_cost(chi2, huber_delta2), 0.0))
     return chi2, cost
 
 
@@ -321,8 +358,10 @@ def _prior_linearize(problem: BAProblem):
     return r, inv_sigma, cost
 
 
-def _total_cost(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
-    _, c_vis = _vis_residuals(problem, camera, R_cb, t_cb, huber_delta2)
+def _total_cost(problem: BAProblem, camera, R_cb, t_cb, huber_delta2,
+                valid_override=None):
+    _, c_vis = _vis_residuals(problem, camera, R_cb, t_cb, huber_delta2,
+                              valid_override)
     s1 = _gather_kf(problem.kf, problem.ie_i)
     s2 = _gather_kf(problem.kf, problem.ie_j)
     r_e = res.inertial_residual(s1, s2, problem.ie_edge)
@@ -331,6 +370,33 @@ def _total_cost(problem: BAProblem, camera, R_cb, t_cb, huber_delta2):
     c_walk = jnp.sum(problem.walk_valid.astype(jnp.float32) * jnp.sum(r_w * r_w, -1))
     _, _, c_prior = _prior_linearize(problem)
     return c_vis + c_ie + c_walk + c_prior
+
+
+def _scatter_edge_blocks(Hcc, b_c, ie_i, ie_j, families):
+    """Accumulate binary-edge Gauss-Newton blocks into the dense camera
+    Hessian with a single concatenated scatter-add (TPU scatters are
+    latency-bound, so fewer-larger beats many-tiny).
+
+    families: iterable of (r [E,R], Ja [E,R,15], Jb [E,R,15], w [E])."""
+    rows_a, rows_b, Hv, bv = [], [], [], []
+    for (rr, Ja, Jb, ww) in families:
+        JaW = Ja * ww[:, None, None]
+        JbW = Jb * ww[:, None, None]
+        # stack the four block products along a new leading axis -> one
+        # einsum pair instead of four + two
+        L = jnp.stack([JaW, JaW, JbW, JbW])  # [4, E, R, 15]
+        Rj = jnp.stack([Ja, Jb, Ja, Jb])
+        Hv.append(jnp.einsum("feik,feil->fekl", L, Rj).reshape(-1, 15, 15))
+        bv.append(-jnp.einsum("feik,ei->fek",
+                              jnp.stack([JaW, JbW]), rr).reshape(-1, 15))
+        rows_a.extend([ie_i, ie_i, ie_j, ie_j])
+        rows_b.extend([ie_i, ie_j, ie_i, ie_j])
+    idx_a = jnp.concatenate(rows_a)
+    idx_b = jnp.concatenate(rows_b)
+    Hcc = Hcc.at[idx_a, idx_b].add(jnp.concatenate(Hv))
+    idx_g = jnp.concatenate([ie_i, ie_j] * len(families))
+    b_c = b_c.at[idx_g].add(jnp.concatenate(bv))
+    return Hcc, b_c
 
 
 def _retract_problem(problem: BAProblem, dx_c, dx_l) -> BAProblem:
@@ -398,16 +464,12 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         D = (Ek[:, :, None] * W_o.reshape(O, 1, 18)).reshape(O, K * 18)
         W_p = _mm(Ep.T, D).reshape(P, K * 6, 3)
 
-        # ---- inertial + walk blocks (E is tiny; scatter-add is fine) ----
-        for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e), (r_w, Jw1, Jw2, w_w)):
-            JaW = Ja * ww[:, None, None]
-            JbW = Jb * ww[:, None, None]
-            Hcc = Hcc.at[pb.ie_i, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JaW, Ja))
-            Hcc = Hcc.at[pb.ie_i, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JaW, Jb))
-            Hcc = Hcc.at[pb.ie_j, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JbW, Ja))
-            Hcc = Hcc.at[pb.ie_j, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JbW, Jb))
-            b_c = b_c.at[pb.ie_i].add(-jnp.einsum("eik,ei->ek", JaW, rr))
-            b_c = b_c.at[pb.ie_j].add(-jnp.einsum("eik,ei->ek", JbW, rr))
+        # ---- inertial + walk blocks: batch the four (i,i)/(i,j)/(j,i)/
+        # (j,j) block products of both edge families into ONE einsum and
+        # ONE scatter-add each (8 tiny scatters -> 1; pure-latency win) ----
+        Hcc, b_c = _scatter_edge_blocks(
+            Hcc, b_c, pb.ie_i, pb.ie_j,
+            ((r_e, J1, J2, w_e), (r_w, Jw1, Jw2, w_w)))
 
         # ---- priors (euclidean dims 6:15) ----
         pr_w2 = pr_inv_sigma * pr_inv_sigma  # [K, 9]
@@ -440,12 +502,20 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         dof = problem.kf_dof.reshape(-1)
         Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
         bm = b.reshape(-1) * dof
-        return Sm, bm, W_p, Hll_inv, b_l, cost_here
+        # base visual validity (w_v > 0 iff obs_valid & depth gate): the
+        # candidate cost pass must reuse THIS mask (see _vis_residuals)
+        return Sm, bm, W_p, Hll_inv, b_l, cost_here, w_v > 0
 
     def solve_reduced(Sm, bm, lam):
         Sd = Sm + jnp.diag(lam * jnp.maximum(jnp.diagonal(Sm), 1e-8))
-        # Jacobi preconditioning for f32 robustness; the damped reduced
-        # system is SPD, so Cholesky (not LU) — measurably faster on TPU
+        # Jacobi preconditioning for f32 robustness; closed-form recursive
+        # block-Schur inverse instead of Cholesky — all matmuls, batches
+        # cleanly over the damping grid (see inv_spd_blocks15)
+        # Jacobi preconditioning for f32 robustness, then Cholesky: the
+        # damped reduced system is SPD, and on VI problems its post-Jacobi
+        # conditioning defeats the closed-form recursive inverse
+        # (inv_spd_blocks15 + iterative refinement both measured to leave
+        # 3x velocity errors) — factorization accuracy is load-bearing
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
         Sd_n = Sd / d[:, None] / d[None, :]
         L = jnp.linalg.cholesky(Sd_n)
@@ -460,7 +530,7 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
     def body(carry, _):
         kf, pts, lam, _cost = carry
         pb = problem._replace(kf=kf, points=pts)
-        Sm, bm, W_p, Hll_inv, b_l, cost_lin = linearize_assemble(pb)
+        Sm, bm, W_p, Hll_inv, b_l, cost_lin, vmask = linearize_assemble(pb)
 
         lams = lam * LAM_GRID
         dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
@@ -472,7 +542,7 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         pts4 = pts[None] + dxl4 * problem.pt_active[None, :, None]
         cost4 = jax.vmap(lambda k_, p_: _total_cost(
             problem._replace(kf=k_, points=p_), camera, R_cb, t_cb,
-            huber_delta2))(kf4, pts4)
+            huber_delta2, valid_override=vmask))(kf4, pts4)
 
         i = jnp.argmin(cost4)
         best = cost4[i]

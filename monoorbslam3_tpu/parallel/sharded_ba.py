@@ -33,7 +33,8 @@ from ..backend import residuals as res
 from ..utils.precision import f32_matmuls
 from ..backend.solver import (
     BAProblem, CHI2_MONO, LAM_GRID, _gather_kf, _inertial_linearize,
-    _prior_linearize, _vis_linearize, _vis_residuals, _walk_linearize, inv3x3,
+    _prior_linearize, _scatter_edge_blocks, _vis_linearize, _vis_residuals,
+    _walk_linearize, inv3x3,
 )
 
 
@@ -124,11 +125,12 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         Ep = (pb0.obs_pt[:, None] == jnp.arange(Pl)[None, :]).astype(jnp.float32)
         _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
 
-        def total_cost_partial(kf, pts):
+        def total_cost_partial(kf, pts, valid_override=None):
             """Per-shard cost partial: local visual part + camera-only
             terms on shard 0; caller psums."""
             pb = pb0._replace(kf=kf, points=pts)
-            _, c_vis = _vis_residuals(pb, camera, R_cb, t_cb, huber_delta2)
+            _, c_vis = _vis_residuals(pb, camera, R_cb, t_cb, huber_delta2,
+                                      valid_override)
             s1 = _gather_kf(kf, pb.ie_i)
             s2 = _gather_kf(kf, pb.ie_j)
             r_e = res.inertial_residual(s1, s2, pb.ie_edge)
@@ -169,16 +171,9 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
             r_e, J1, J2, w_e, c_ie = _inertial_linearize(pb)
             r_w, Jw1, Jw2, w_w, c_walk = _walk_linearize(pb)
             r_p, pr_inv_sigma, c_prior = _prior_linearize(pb)
-            for (rr, Ja, Jb, ww) in ((r_e, J1, J2, w_e * on0),
-                                     (r_w, Jw1, Jw2, w_w * on0)):
-                JaW = Ja * ww[:, None, None]
-                JbW = Jb * ww[:, None, None]
-                Hcc = Hcc.at[pb.ie_i, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JaW, Ja))
-                Hcc = Hcc.at[pb.ie_i, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JaW, Jb))
-                Hcc = Hcc.at[pb.ie_j, pb.ie_i].add(jnp.einsum("eik,eil->ekl", JbW, Ja))
-                Hcc = Hcc.at[pb.ie_j, pb.ie_j].add(jnp.einsum("eik,eil->ekl", JbW, Jb))
-                b_c = b_c.at[pb.ie_i].add(-jnp.einsum("eik,ei->ek", JaW, rr))
-                b_c = b_c.at[pb.ie_j].add(-jnp.einsum("eik,ei->ek", JbW, rr))
+            Hcc, b_c = _scatter_edge_blocks(
+                Hcc, b_c, pb.ie_i, pb.ie_j,
+                ((r_e, J1, J2, w_e * on0), (r_w, Jw1, Jw2, w_w * on0)))
             pr_w2 = (pr_inv_sigma * pr_inv_sigma) * on0
             pr_full = jnp.zeros((K, 15), jnp.float32).at[:, 6:15].set(pr_w2)
             Hcc = Hcc.at[diag_idx, diag_idx].add(jax.vmap(jnp.diag)(pr_full))
@@ -212,12 +207,14 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
             Sm = S.transpose(0, 2, 1, 3).reshape(K * 15, K * 15)
             Sm = Sm * dof[:, None] * dof[None, :] + jnp.diag(1.0 - dof)
             bm = b.reshape(-1) * dof
-            return Sm, bm, W_p, Hll_inv, b_l, c_lin
+            return Sm, bm, W_p, Hll_inv, b_l, c_lin, w_v > 0
 
         def solve_reduced(Sm, bm, lam):
             Sd = Sm + jnp.diag(lam * jnp.maximum(jnp.diagonal(Sm), 1e-8))
             d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
-            return (jnp.linalg.solve(Sd / d[:, None] / d[None, :], bm / d)
+            Sd_n = Sd / d[:, None] / d[None, :]
+            L = jnp.linalg.cholesky(Sd_n)
+            return (jax.scipy.linalg.cho_solve((L, True), bm / d)
                     / d).reshape(K, 15)
 
         # parallel-lambda LM (mirrors solver.schur_ba): 4 dampings solved
@@ -225,7 +222,7 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         # distributed batched pass, argmin accepted if it improves
         def body(carry, _):
             kf, pts, lam, _cost = carry
-            Sm, bm, W_p, Hll_inv, b_l, cost_lin = linearize_assemble(kf, pts)
+            Sm, bm, W_p, Hll_inv, b_l, cost_lin, vmask = linearize_assemble(kf, pts)
 
             lams = lam * LAM_GRID
             dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
@@ -235,7 +232,8 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
 
             kf4 = jax.vmap(lambda dc: res.retract_kf(kf, dc * pb0.kf_dof))(dxc4)
             pts4 = pts[None] + dxl4 * pb0.pt_active[None, :, None]
-            part4 = jax.vmap(total_cost_partial)(kf4, pts4)
+            part4 = jax.vmap(
+                lambda k_, p_: total_cost_partial(k_, p_, vmask))(kf4, pts4)
             cost4 = jax.lax.psum(part4, axis)
 
             i = jnp.argmin(cost4)

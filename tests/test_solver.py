@@ -318,6 +318,26 @@ def test_analytic_inertial_jacobians_match_jacfwd():
                                rtol=1e-3, atol=1e-4 * scale)
 
 
+def test_inv_spd_blocks15_matches_linalg():
+    """Recursive block-Schur inverse of the reduced camera system (used in
+    place of Cholesky on TPU) vs jnp.linalg.solve, on an LM-damped
+    Jacobi-normalized SPD matrix with K=9 (non-power-of-two) blocks."""
+    rng = np.random.default_rng(7)
+    K = 9
+    n = 15 * K
+    A = rng.normal(size=(2, n, n)).astype(np.float32) / np.sqrt(n)
+    H = A @ A.transpose(0, 2, 1) + 0.05 * np.eye(n, dtype=np.float32)
+    d = np.sqrt(np.abs(np.diagonal(H, axis1=-2, axis2=-1)))
+    Hn = H / d[:, :, None] / d[:, None, :]
+    g = rng.normal(size=(2, n)).astype(np.float32)
+    x_ref = np.linalg.solve(Hn.astype(np.float64), g.astype(np.float64)[..., None]).squeeze(-1)
+    Hi = np.asarray(sol.inv_spd_blocks15(jnp.asarray(Hn), K))
+    x = (Hi @ g[..., None]).squeeze(-1)
+    scale = np.abs(x_ref).max()
+    assert np.allclose(x, x_ref, rtol=5e-3, atol=1e-3 * scale), \
+        np.abs(x - x_ref).max() / scale
+
+
 def test_inv_spd15_matches_linalg():
     """Closed-form nested-Schur 15x15 SPD solve vs jnp.linalg.solve on
     LM-style damped normal matrices (incl. rank-deficient visual-only
