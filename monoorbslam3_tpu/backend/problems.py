@@ -66,26 +66,33 @@ def _pose_optimize_impl(
     per-round chi2 inlier re-classification (the reference's 4x10 loop with
     chi2 5.991, Optimize.cpp:498-524)."""
 
+    visual_only = not (use_inertial or use_prior)
+    DIM = 6 if visual_only else 15
+
     def chi2_of(s):
         r = res.reprojection_residual(s, pts, uv, camera, R_cb, t_cb)
         depth_ok = res.point_depth(s, pts, R_cb, t_cb) > 0.05
         return jnp.sum(r * r, axis=-1) * inv_sigma2, depth_ok
 
-    def vis_linearize(s: KfState, w_vis):
-        """Analytic visual residual + Jacobian at state s (fresh tangent);
-        same closed form as solver._vis_linearize, specialized to one pose."""
-        p_b = (pts - s.t_wb) @ s.R_wb  # R_wb^T (p - t), batched
-        p_c = p_b @ R_cb.T + t_cb
-        r = camera.project(p_c) - uv  # [N, 2]
-        Jp = camera.proj_jacobian(p_c)  # [N, 2, 3]
-        JpR = jnp.einsum("nij,jk->nik", Jp, R_cb)
-        N = pts.shape[0]
-        J = jnp.zeros((N, 2, 15), jnp.float32)
-        J = J.at[:, :, 0:3].set(jnp.einsum("nij,njk->nik", JpR, lie.hat(p_b)))
-        J = J.at[:, :, 3:6].set(-JpR)
-        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        w_h = res.huber_weight(chi2, CHI2_MONO)
-        return r, J, w_vis * w_h, chi2
+    def vis_linearize_b(s: KfState, w_vis):
+        """Batched-over-candidates visual linearize: residual, compact
+        6-col pose Jacobian, IRLS weight, robust cost (same closed form as
+        solver._vis_linearize, one pose per candidate row)."""
+        p_b = jnp.einsum("cnj,cji->cni", pts[None] - s.t_wb[:, None], s.R_wb)
+        p_c = jnp.einsum("cni,ji->cnj", p_b, R_cb) + t_cb
+        r = camera.project(p_c) - uv[None]  # [C, N, 2]
+        Jp = camera.proj_jacobian(p_c)  # [C, N, 2, 3]
+        JpR = jnp.einsum("cnij,jk->cnik", Jp, R_cb)
+        Jc = jnp.concatenate([
+            jnp.einsum("cnij,cnjk->cnik", JpR, lie.hat(p_b)),
+            -JpR,
+        ], axis=-1)  # [C, N, 2, 6]
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2  # [C, N]
+        w = w_vis[None] * res.huber_weight(chi2, CHI2_MONO)
+        cost = jnp.sum(
+            jnp.where(w_vis[None] > 0, res.huber_cost(chi2, CHI2_MONO), 0.0),
+            axis=-1)  # [C]
+        return r, Jc, w, cost
 
     def tail_linearize(s: KfState):
         """Inertial-to-last-KF + prior residuals and their Jacobians wrt a
@@ -108,59 +115,74 @@ def _pose_optimize_impl(
             jnp.zeros((0, 15), jnp.float32)
         return r, J
 
-    def robust_cost(s, w_vis):
-        p_b = (pts - s.t_wb) @ s.R_wb
-        p_c = p_b @ R_cb.T + t_cb
-        r = camera.project(p_c) - uv
-        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        c_vis = jnp.sum(jnp.where(w_vis > 0, res.huber_cost(chi2, CHI2_MONO), 0.0))
-        r_t, _ = tail_linearize(s)
-        return c_vis + jnp.sum(r_t * r_t)
-
-    # Parallel-lambda LM: each sequential step solves the damped system for
-    # several damping factors AT ONCE (batched 15x15 solves + batched
-    # retraction + batched cost) and keeps the best candidate. A step is at
-    # least as good as classic LM's accept/reject, so ~1/3 the sequential
-    # depth reaches the same optimum — on TPU the sequential chain's per-op
-    # latency is the frame-rate bottleneck, not FLOPs.
+    # Deferred-accept parallel-lambda LM (the schur_ba pattern applied to
+    # the frame chain): the carry holds C candidate states — the incumbent
+    # plus the previous step's trial steps at 4 dampings. ONE batched
+    # linearize pass per iteration both costs every candidate (so there is
+    # no separate robust_cost pass) and yields H, g at the winner (selected
+    # from the batched block products). On TPU the sequential chain's
+    # per-op latency is the frame-rate bottleneck, not FLOPs — batching
+    # candidates into the same ops is free.
     LAMBDA_FACTORS = jnp.array([0.03, 1.0, 30.0, 900.0], jnp.float32)
+    C = 1 + LAMBDA_FACTORS.shape[0]
 
     def run_round(state, inlier, lm_steps):
         w_vis = inlier.astype(jnp.float32) * inv_sigma2
 
         def lm_body(carry, _):
-            s, lam, cost = carry
-            r, J, w, _ = vis_linearize(s, w_vis)
-            Jw = J * w[:, None, None]
-            H = jnp.einsum("nik,nil->kl", Jw, J)
-            g = jnp.einsum("nik,ni->k", Jw, r)
-            r_t, J_t = tail_linearize(s)
-            H = H + J_t.T @ J_t
-            g = g + J_t.T @ r_t
+            cands, lam = carry
+            r, Jc, w, cost_v = vis_linearize_b(cands, w_vis)
+            if visual_only:
+                cost = cost_v
+            else:
+                r_t, J_t = jax.vmap(tail_linearize)(cands)
+                cost = cost_v + jnp.sum(r_t * r_t, axis=-1)
+            i = jnp.argmin(cost)  # incumbent is candidate 0: monotone
+            s = jax.tree_util.tree_map(lambda a: a[i], cands)
+            JcW = Jc * w[:, :, None, None]
+            H4 = jnp.einsum("cnik,cnil->ckl", JcW, Jc)  # [C, 6, 6]
+            g4 = jnp.einsum("cnik,cni->ck", JcW, r)
+            H6, g6 = H4[i], g4[i]
+            if visual_only:
+                H, g = H6, g6
+            else:
+                H = jnp.zeros((15, 15), jnp.float32).at[:6, :6].set(H6)
+                g = jnp.zeros(15, jnp.float32).at[:6].set(g6)
+                Jt_i = jax.tree_util.tree_map(lambda a: a[i], J_t)
+                rt_i = r_t[i]
+                H = H + Jt_i.T @ Jt_i
+                g = g + Jt_i.T @ rt_i
+            lam = jnp.where(i == 0, jnp.minimum(lam * 100.0, 1e5),
+                            jnp.clip(lam * LAMBDA_FACTORS[jnp.maximum(i - 1, 0)]
+                                     * 0.5, 1e-7, 1e5))
             D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
             lams = lam * LAMBDA_FACTORS
             Hs = H[None] + lams[:, None, None] * D[None]
             # closed-form nested-Schur SPD solve: all matmul/elementwise,
             # no serialized LU in the latency-critical frame LM chain
-            steps = -solver.solve_spd15_jacobi(
-                Hs, jnp.broadcast_to(g, (lams.shape[0], 15)))
-            cands = jax.vmap(lambda d: res.retract_kf(s, d))(steps)
-            costs = jax.vmap(lambda c: robust_cost(c, w_vis))(cands)
-            best = jnp.argmin(costs)
-            best_cost = costs[best]
-            improved = best_cost < cost
-            s = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(improved, a[best], b), cands, s)
-            lam = jnp.where(improved,
-                            jnp.clip(lams[best] * 0.5, 1e-7, 1e5),
-                            jnp.minimum(lam * 100.0, 1e5))
-            cost = jnp.where(improved, best_cost, cost)
-            return (s, lam, cost), None
+            if visual_only:
+                d6 = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(
+                    Hs, axis1=-2, axis2=-1)), 1e-12))
+                Hn = Hs / (d6[..., :, None] * d6[..., None, :])
+                steps = -(solver.inv_spd6(Hn) @ (g / d6)[..., None]
+                          ).squeeze(-1) / d6
+                steps15 = jnp.pad(steps, ((0, 0), (0, 9)))
+            else:
+                steps15 = -solver.solve_spd15_jacobi(
+                    Hs, jnp.broadcast_to(g, (lams.shape[0], 15)))
+            trials = jax.vmap(lambda d: res.retract_kf(s, d))(steps15)
+            cands = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]),
+                s, trials)
+            return (cands, lam), None
 
-        (new_state, _, _), _ = jax.lax.scan(
-            lm_body, (state, jnp.float32(1e-3), robust_cost(state, w_vis)),
-            None, length=lm_steps,
-        )
+        cands0 = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (C, *a.shape)), state)
+        (cands, _), _ = jax.lax.scan(
+            lm_body, (cands0, jnp.float32(1e-3)), None, length=lm_steps)
+        # the incumbent (candidate 0) is the best costed state; the final
+        # step's trials were never costed and are discarded
+        new_state = jax.tree_util.tree_map(lambda a: a[0], cands)
         chi2, depth_ok = chi2_of(new_state)
         new_inlier = valid & (chi2 < CHI2_FRAME_DROP) & depth_ok
         return new_state, new_inlier
@@ -170,8 +192,9 @@ def _pose_optimize_impl(
     state = state0
     # same total refinement as the reference's 4x10 (Optimize.cpp:498-524),
     # but each parallel-lambda step explores 4 dampings at once, so 4 rounds
-    # of 4 steps suffice
-    lm_steps = max(3, n_iters * 2 // 5)
+    # of 4 steps suffice; +1 because the first deferred-accept step only
+    # seeds the candidate bank
+    lm_steps = max(3, n_iters * 2 // 5) + 1
     for _ in range(n_rounds):
         state, inlier = run_round(state, inlier, lm_steps)
     return state, inlier
