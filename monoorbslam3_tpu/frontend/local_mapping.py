@@ -148,6 +148,9 @@ class LocalMapping:
         self.gravity_refine_delay = cfg.get("gravity_refine_delay", 3.0)
         self.triangulate_neighbors = cfg.get("triangulate_neighbors", 8)
         self.window = cfg.get("local_ba_window", 10)
+        # graduation gate: cull points still at > 20% relative depth
+        # uncertainty after the young-point window (see cull_map_points)
+        self.graduation_rel_sigma = cfg.get("graduation_rel_sigma", 0.2)
         self.scale_factors = cfg.get(
             "scale_factors", np.array([1.2**i for i in range(8)], np.float32)
         )
@@ -216,7 +219,18 @@ class LocalMapping:
         )
 
     def cull_map_points(self):
-        """Found-ratio < 0.25 or under-observed young points (MapPointCulling)."""
+        """Found-ratio < 0.25 or under-observed young points (MapPointCulling).
+
+        Beyond the reference: a geometric-quality graduation gate. A point
+        leaving the young-point window whose along-ray depth uncertainty is
+        still a large fraction of its depth (sigma_z/z, from the
+        observation-baseline span — the same statistic the frame optimizer
+        uses to down-weight low-parallax points) never accumulated usable
+        parallax; it contributes bearing information only, occupies local-BA
+        capacity, and near the focus of expansion it is exactly the
+        population the round-1 forensics found polluting the frame fit
+        (STATUS.md). pt_max_dist (the scale-band reference distance) stands
+        in for z, so no extra per-point state is needed."""
         store = self.store
         keep = []
         for pid, birth in self.recent_points:
@@ -229,7 +243,10 @@ class LocalMapping:
             elif age >= 2 and store.pt_n_obs[pid] <= 2:
                 store.remove_point(pid)
             elif age >= 3:
-                continue  # graduated
+                rel_sigma = store.pt_sigma_z[pid] / max(store.pt_max_dist[pid], 1e-6)
+                if rel_sigma > self.graduation_rel_sigma:
+                    store.remove_point(pid)
+                continue  # graduated (or culled as geometric junk)
             else:
                 keep.append((pid, birth))
         self.recent_points = keep

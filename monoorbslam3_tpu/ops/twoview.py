@@ -380,4 +380,9 @@ def reconstruct_two_views(
         "rh": rh,
         "n_good": best_n,
         "parallax_deg": par_deg,
+        # acceptance diagnostics (all already computed; free to return)
+        "n_good_all": n_good,
+        "n_similar": n_similar,
+        "n_inliers": n_inl,
+        "min_good": min_good,
     }

@@ -170,6 +170,122 @@ class HoverTrajectory(Trajectory):
 
 
 @dataclass
+class ImageWorld:
+    """Renderable synthetic world: a procedurally textured cylinder wall
+    around the trajectory circle, ray-cast per frame into pixel-accurate,
+    3-D-consistent grayscale images.
+
+    This closes the full-stack loop the feature-injection `World` cannot:
+    real images drive the ORB extractor, so matching/tracking run on
+    actual BRIEF descriptors of a persistent 3-D surface with true
+    parallax, scale change, and in-plane rotation across views (the
+    deterministic analog of a EuRoC machine-hall wall; SURVEY.md §4's
+    "synthetic scenes" requirement).
+    """
+
+    traj: Trajectory = field(default_factory=Trajectory)
+    wall_radius: float = 11.0
+    n_pillars: int = 12
+    pillar_ring: float = 8.0
+    pillar_radius: float = 0.8
+    tex_h: int = 1024
+    tex_w: int = 4096
+    seed: int = 11
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        # multi-scale blocky texture: sharp structure at several octaves so
+        # FAST finds corners at every pyramid level
+        tex = np.zeros((self.tex_h, self.tex_w))
+        for cell in (8, 16, 32, 64):
+            small = rng.uniform(0, 1, (self.tex_h // cell, self.tex_w // cell))
+            tex += np.kron(small, np.ones((cell, cell)))
+        tex -= tex.min()
+        tex *= 255.0 / tex.max()
+        self.texture = tex.astype(np.float32)
+        # vertical extent the texture band covers (z tiles outside)
+        self.z_span = 8.0
+        # textured pillars between the trajectory circle and the wall: a
+        # wall alone is quasi-planar, which leaves the homography twin
+        # (Faugeras) ambiguity unresolved and two-view init correctly
+        # refuses to pick a motion hypothesis; pillars give the scene real
+        # depth structure (and realistic occlusion)
+        ang = rng.uniform(0, 2 * np.pi, self.n_pillars)
+        self.pillar_xy = np.stack(
+            [self.pillar_ring * np.cos(ang), self.pillar_ring * np.sin(ang)], -1)
+        self.pillar_uoff = rng.uniform(0, 1, self.n_pillars)
+
+    def pose_cw(self, t, R_bc, t_bc):
+        R_wb = self.traj.R_wb(t)
+        p_wb = self.traj.pos(t)
+        R_wc = R_wb @ R_bc
+        t_wc = R_wb @ t_bc + p_wb
+        return R_wc.T, -R_wc.T @ t_wc
+
+    def render(self, t, camera, R_bc, t_bc, noise=1.0, rng=None):
+        """Ray-cast the cylinder at time t -> [H, W] float32 image 0..255."""
+        rng = rng or np.random.default_rng(int(t * 1e3) % (2**31))
+        H, W = int(camera.height), int(camera.width)
+        fx, fy = float(camera.fx), float(camera.fy)
+        cx, cy = float(camera.cx), float(camera.cy)
+        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+        d_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        R_cw, t_cw = self.pose_cw(t, R_bc, t_bc)
+        R_wc = R_cw.T
+        o_w = -R_wc @ t_cw  # camera center
+        d_w = d_c @ R_wc.T  # [H, W, 3] world ray dirs
+
+        # wall: |o_xy + s d_xy|^2 = wall_radius^2, exit (larger) root — the
+        # camera is inside the cylinder
+        a = d_w[..., 0] ** 2 + d_w[..., 1] ** 2
+        b = 2.0 * (o_w[0] * d_w[..., 0] + o_w[1] * d_w[..., 1])
+        c = o_w[0] ** 2 + o_w[1] ** 2 - self.wall_radius**2
+        disc = np.maximum(b * b - 4 * a * c, 0.0)
+        s = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)
+        hit = o_w[None, None] + s[..., None] * d_w
+        theta = np.arctan2(hit[..., 1], hit[..., 0])  # [-pi, pi]
+        tz = hit[..., 2]
+        tu = (theta + np.pi) / (2 * np.pi) * (self.tex_w - 1)
+        tv = np.mod(tz / self.z_span + 0.5, 1.0) * (self.tex_h - 1)
+
+        # pillars: entry (smaller) root; nearest hit wins (occlusion)
+        for p_xy, uoff in zip(self.pillar_xy, self.pillar_uoff):
+            oc = o_w[:2] - p_xy
+            bp = 2.0 * (oc[0] * d_w[..., 0] + oc[1] * d_w[..., 1])
+            cp = oc[0] ** 2 + oc[1] ** 2 - self.pillar_radius**2
+            dp = bp * bp - 4 * a * cp
+            hit_ok = dp > 0
+            sp = np.where(
+                hit_ok,
+                (-bp - np.sqrt(np.maximum(dp, 0.0))) / np.maximum(2 * a, 1e-12),
+                1.0,
+            )
+            closer = hit_ok & (sp > 0.1) & (sp < s)
+            sp = np.where(closer, sp, 1.0)  # keep masked-lane math finite
+            hp = o_w[None, None] + sp[..., None] * d_w
+            th_p = np.arctan2(hp[..., 1] - p_xy[1], hp[..., 0] - p_xy[0])
+            tu_p = np.mod((th_p + np.pi) / (2 * np.pi) + uoff, 1.0) * (self.tex_w - 1)
+            tv_p = np.mod(hp[..., 2] / (0.25 * self.z_span) + 0.5, 1.0) * (self.tex_h - 1)
+            s = np.where(closer, sp, s)
+            tu = np.where(closer, tu_p, tu)
+            tv = np.where(closer, tv_p, tv)
+        # bilinear sample
+        u0 = np.floor(tu).astype(np.int64) % self.tex_w
+        v0 = np.floor(tv).astype(np.int64) % self.tex_h
+        u1 = (u0 + 1) % self.tex_w
+        v1 = (v0 + 1) % self.tex_h
+        au = (tu - np.floor(tu)).astype(np.float32)
+        av = (tv - np.floor(tv)).astype(np.float32)
+        T = self.texture
+        img = ((1 - au) * (1 - av) * T[v0, u0] + au * (1 - av) * T[v0, u1]
+               + (1 - au) * av * T[v1, u0] + au * av * T[v1, u1])
+        if noise > 0:
+            img = img + rng.normal(scale=noise, size=img.shape)
+        return np.clip(img, 0, 255).astype(np.float32)
+
+
+@dataclass
 class World:
     """Landmark field + feature observation generator."""
 

@@ -1,0 +1,91 @@
+"""Full-stack end-to-end test on RENDERED images.
+
+The feature-injection e2e (test_e2e_synthetic.py) bypasses the ORB
+extractor; this suite drives the public `System.track(t, image, imu)`
+surface — the reference's actual API (System.cpp:86-106) — over ray-cast
+images of a persistent textured 3-D scene (cylinder wall + pillars,
+sim.ImageWorld), so extraction, descriptor matching, two-view bootstrap,
+mapping, and IMU init all run on real pixels with true parallax,
+occlusion, and scale change. This is the deterministic analog of the
+reference's dataset demos (test/eurocDemo.cpp) with ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from monoorbslam3_tpu.evaluation.ate import umeyama_align
+from monoorbslam3_tpu.models.camera import Pinhole
+from monoorbslam3_tpu.ops.orb import OrbExtractor
+from monoorbslam3_tpu.sim import ImageWorld, Trajectory
+from monoorbslam3_tpu.system import System
+from monoorbslam3_tpu.frontend import tracking as T
+
+from tests.test_e2e_synthetic import BA_TRUE, BG_TRUE, CALIB, R_BC, T_BC
+
+CAM = Pinhole.create(fx=380.0, fy=380.0, cx=256.0, cy=192.0,
+                     width=512, height=384)
+
+
+def _run(t_end=5.0, fps=20.0):
+    traj = Trajectory()
+    world = ImageWorld(traj=traj)
+    ext = OrbExtractor(384, 512, n_features=768)
+    syst = System(CAM, CALIB, config={
+        "init_min_features": 100, "init_min_matches": 60,
+        "local_k": 16, "local_p": 1024, "local_o": 3072,
+        "local_pt_cap": 1024, "imu_init_kfs": 10, "max_pt": 16384,
+        "kf_max_interval": 0.25, "kf_tracked_ratio": 0.85,
+    }, extractor=ext)
+    rng = np.random.default_rng(9)
+    last_t = 0.0
+    states = []
+    for i, t in enumerate(np.arange(0.0, t_end, 1.0 / fps)):
+        img = world.render(t, CAM, R_BC, T_BC, noise=1.0, rng=rng)
+        imu = None
+        if i:
+            g, a, d = traj.imu_samples(last_t, t, 200.0, bg=BG_TRUE,
+                                       ba=BA_TRUE, noise_gyro=1.7e-4,
+                                       noise_acc=2e-3, rng=rng)
+            ts = last_t + np.cumsum(d)
+            imu = np.concatenate([ts[:, None], g, a], axis=1)
+        states.append(syst.track(t, img, imu))
+        last_t = t
+    return syst, np.asarray(states), traj
+
+
+@pytest.fixture(scope="module")
+def image_run():
+    return _run()
+
+
+def test_image_path_initializes_and_tracks(image_run):
+    syst, states, traj = image_run
+    ok = states == T.OK
+    assert ok.any(), "never initialized from images"
+    first_ok = np.nonzero(ok)[0][0]
+    assert first_ok < 20, f"slow bootstrap (frame {first_ok})"
+    assert (states == T.LOST).sum() == 0, "tracking deaths on images"
+    assert ok[first_ok:].mean() > 0.9, f"OK ratio {ok[first_ok:].mean():.2f}"
+
+
+def test_image_path_imu_initializes(image_run):
+    syst, states, traj = image_run
+    assert syst.mapper.imu_state >= 1, "IMU never initialized"
+
+
+def test_image_path_trajectory_accuracy(image_run):
+    """Scale-aligned KF-trajectory ATE on real extracted features.
+
+    Measured 12 cm over the 5 s arc (vs 1-2 cm with injected features:
+    extraction pixel noise + occlusion-boundary features account for the
+    difference); assert a loose 25 cm."""
+    syst, states, traj = image_run
+    ids = syst.store.keyframe_ids()
+    assert len(ids) >= 5
+    kt = np.array([syst.store.kf_time[k] for k in ids])
+    kp = np.stack([syst.store.kf_t[k] for k in ids])
+    gt = traj.pos(kt)
+    s, R, tt = umeyama_align(kp, gt)
+    err = np.linalg.norm((s * kp @ R.T + tt) - gt, axis=1)
+    rmse = float(np.sqrt((err**2).mean()))
+    assert rmse < 0.25, f"image-path KF ATE RMSE {rmse * 100:.0f} cm"
