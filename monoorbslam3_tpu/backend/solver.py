@@ -35,8 +35,13 @@ from .residuals import KfState, PreintEdge
 CHI2_MONO = 5.991  # 2-DoF 95% gate (Optimize.cpp poseOptimize chi2)
 
 # damping candidates tried in parallel each LM iteration (relative to the
-# carried lambda): one relax step, hold, and two escalations
-LAM_GRID = jnp.array([0.2, 1.0, 5.0, 25.0], jnp.float32)
+# carried lambda): one relax and one escalate. The reduced-system Cholesky
+# is depth-limited (~1.4 ms on v5e regardless of dimension) and its batch
+# dimension is NOT free (4 dampings 1.98 ms vs 2 dampings 1.58), while the
+# carried-lambda adaptation makes wider grids redundant: 2-, 3- and 4-point
+# grids converge to identical cost on the bench window (measured
+# 2026-08-17, cost 1118.6 after 10 iters for all of them).
+LAM_GRID = jnp.array([0.3, 3.0], jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -508,9 +513,6 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
 
     def solve_reduced(Sm, bm, lam):
         Sd = Sm + jnp.diag(lam * jnp.maximum(jnp.diagonal(Sm), 1e-8))
-        # Jacobi preconditioning for f32 robustness; closed-form recursive
-        # block-Schur inverse instead of Cholesky — all matmuls, batches
-        # cleanly over the damping grid (see inv_spd_blocks15)
         # Jacobi preconditioning for f32 robustness, then Cholesky: the
         # damped reduced system is SPD, and on VI problems its post-Jacobi
         # conditioning defeats the closed-form recursive inverse
@@ -533,9 +535,10 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         Sm, bm, W_p, Hll_inv, b_l, cost_lin, vmask = linearize_assemble(pb)
 
         lams = lam * LAM_GRID
+        G = LAM_GRID.shape[0]
         dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
         acc4 = jnp.einsum("pkv,ck->cpv", W_p,
-                          dxc4[:, :, :6].reshape(4, K * 6))  # [4, P, 3]
+                          dxc4[:, :, :6].reshape(G, K * 6))  # [G, P, 3]
         dxl4 = jnp.einsum("pvw,cpw->cpv", Hll_inv, b_l[None] - acc4)
 
         kf4 = jax.vmap(lambda dc: res.retract_kf(kf, dc * problem.kf_dof))(dxc4)
@@ -553,12 +556,14 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         lam = jnp.where(improved, jnp.clip(lams[i], 1e-9, 1e4),
                         jnp.minimum(lam * 25.0, 1e8))
         cost = jnp.where(improved, best, cost_lin)
-        return (kf, pts, lam, cost), cost
+        return (kf, pts, lam, cost), (cost, cost_lin)
 
-    cost0 = _total_cost(problem, camera, R_cb, t_cb, huber_delta2)
-    (kf_f, pts_f, _, cost), cost_hist = jax.lax.scan(
+    # no standalone initial-cost pass: iteration 1's linearize evaluates the
+    # cost at the initial state anyway (deferred-accept), so cost0 is the
+    # first element of the linearization-cost history
+    (kf_f, pts_f, _, cost), (cost_hist, cost_lin_hist) = jax.lax.scan(
         body,
-        (problem.kf, problem.points, jnp.float32(lambda0), cost0),
+        (problem.kf, problem.points, jnp.float32(lambda0), jnp.float32(jnp.inf)),
         None, length=n_iters,
     )
     pb = problem._replace(kf=kf_f, points=pts_f)
@@ -566,7 +571,7 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
     # final per-obs chi2 for inlier classification
     r_v, _, _, _, chi2, _ = _vis_linearize(pb, camera, R_cb, t_cb, huber_delta2)
     return pb.kf, pb.points, {
-        "cost0": cost0,
+        "cost0": cost_lin_hist[0],
         "cost": cost,
         "cost_hist": cost_hist,
         "obs_chi2": chi2,

@@ -26,7 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..backend import residuals as res
@@ -217,17 +217,18 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
             return (jax.scipy.linalg.cho_solve((L, True), bm / d)
                     / d).reshape(K, 15)
 
-        # parallel-lambda LM (mirrors solver.schur_ba): 4 dampings solved
-        # on the replicated reduced system, candidates costed in one
+        # parallel-lambda LM (mirrors solver.schur_ba): LAM_GRID dampings
+        # solved on the replicated reduced system, candidates costed in one
         # distributed batched pass, argmin accepted if it improves
         def body(carry, _):
             kf, pts, lam, _cost = carry
             Sm, bm, W_p, Hll_inv, b_l, cost_lin, vmask = linearize_assemble(kf, pts)
 
             lams = lam * LAM_GRID
+            G = LAM_GRID.shape[0]
             dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
             acc4 = jnp.einsum("pkv,ck->cpv", W_p,
-                              dxc4[:, :, :6].reshape(4, K * 6))
+                              dxc4[:, :, :6].reshape(G, K * 6))
             dxl4 = jnp.einsum("pvw,cpw->cpv", Hll_inv, b_l[None] - acc4)
 
             kf4 = jax.vmap(lambda dc: res.retract_kf(kf, dc * pb0.kf_dof))(dxc4)
@@ -259,6 +260,6 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
         in_specs=(in_specs,),
         out_specs=(jax.tree_util.tree_map(lambda _: rep, problem.kf),
                    pt_spec, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )(problem)
     return kf, pts, {"cost0": cost0, "cost": cost, "cost_hist": hist}

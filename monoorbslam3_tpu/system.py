@@ -134,6 +134,15 @@ class System:
         self._stop = True
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+        # a pending gravity refinement (IMU initialized but the +3 s
+        # refinement window never hit a keyframe before the stream ended)
+        # still improves the exported trajectory — run it now, like the
+        # reference finishing its mapper queue on ShutDown (System.cpp:109)
+        from .frontend.local_mapping import IMU_INITIALIZED
+
+        if (self.mapper.imu_state == IMU_INITIALIZED
+                and self.store.n_keyframes() >= 3):
+            self.mapper.refine_gravity()
 
     # ------------------------------------------------------------------
     # exports (System.cpp:125-222)

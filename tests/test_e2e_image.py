@@ -71,6 +71,11 @@ def test_image_path_initializes_and_tracks(image_run):
 def test_image_path_imu_initializes(image_run):
     syst, states, traj = image_run
     assert syst.mapper.imu_state >= 1, "IMU never initialized"
+    # the 5 s stream ends before the +3 s refinement window hits a KF;
+    # shutdown must run the pending gravity refinement (System.cpp:109
+    # analog) so the exported trajectory uses the refined gauge
+    syst.shutdown()
+    assert syst.mapper.imu_state == 2, "gravity refinement not run at shutdown"
 
 
 def test_image_path_trajectory_accuracy(image_run):
