@@ -442,32 +442,41 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         O = r_v.shape[0]
 
         # ---- visual blocks (Jc touches only the 6 pose dims) ----
-        JcW = Jc * w_v[:, None, None]  # [O, 2, 6]
-        JlW = Jl * w_v[:, None, None]  # [O, 2, 3]
-        Hc_o = jnp.einsum("oik,oil->okl", JcW, Jc)  # [O, 6, 6]
-        Hll_o = jnp.einsum("oik,oil->okl", JlW, Jl)  # [O, 3, 3]
-        W_o = jnp.einsum("oik,oil->okl", JcW, Jl)  # [O, 6, 3]
-        bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)  # [O, 6]
-        bl_o = -jnp.einsum("oik,oi->ok", JlW, r_v)  # [O, 3]
+        # The assembly is latency-bound, not FLOP-bound (profiled
+        # 2026-08-17: every standalone stage measures at the ~0.3 ms
+        # dispatch floor; a 32x-fewer-FLOPs W build times identically), so
+        # it is structured as the FEWEST large ops:
+        # 1) ONE augmented-Jacobian product B = (w Ja)^T Ja with
+        #    Ja = [Jc | Jl | -r] — its sub-blocks are ALL of Hc, Hll, W,
+        #    bc and bl at once;
+        # 2) ONE stacked one-hot matmul [Ek | Ep]^T @ [Hc|bc|Hll|bl|W-exp]
+        #    producing the per-KF sums, per-point sums, and the dense
+        #    [P, K*6, 3] pose-landmark coupling in a single MXU pass
+        #    (the unused cross quadrants are discarded; FLOPs are free).
+        Ja = jnp.concatenate([Jc, Jl, -r_v[:, :, None]], -1)  # [O, 2, 10]
+        B = jnp.einsum("oik,oil->okl", Ja * w_v[:, None, None], Ja)
+        W_o = B[:, :6, 6:9]  # [O, 6, 3]
+        cols = jnp.concatenate([
+            B[:, :6, :6].reshape(O, 36),  # Hc
+            B[:, :6, 9:10].reshape(O, 6),  # bc = -(w Jc)^T r
+            B[:, 6:9, 6:9].reshape(O, 9),  # Hll
+            B[:, 6:9, 9:10].reshape(O, 3),  # bl
+            (Ek[:, :, None] * W_o.reshape(O, 1, 18)).reshape(O, K * 18),
+        ], -1)  # [O, 54 + K*18]
+        SUM = _mm(jnp.concatenate([Ek, Ep], 1).T, cols)  # [K+P, 54+K*18]
 
-        # per-KF diagonal blocks + gradient in one [K, O] x [O, 42] matmul
-        camk = _mm(Ek.T, jnp.concatenate([Hc_o.reshape(O, 36), bc_o], -1))
+        camk = SUM[:K, :42]  # per-KF [Hc(36) | bc(6)]
         Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
         diag_idx = jnp.arange(K)
         Hcc = Hcc.at[diag_idx, diag_idx, :6, :6].add(camk[:, :36].reshape(K, 6, 6))
         b_c = jnp.zeros((K, 15), jnp.float32).at[:, :6].set(camk[:, 36:])
 
-        # per-point blocks + gradient in one [P, O] x [O, 12] matmul
-        lmk = _mm(Ep.T, jnp.concatenate([Hll_o.reshape(O, 9), bl_o], -1))
-        Hll = lmk[:, :9].reshape(P, 3, 3)
-        b_l = lmk[:, 9:]
-
-        # dense pose-landmark coupling W in [P, K*6, 3] layout: expand the
-        # KF one-hot into the value rows, then one [P, O] x [O, K*18]
-        # matmul; downstream contractions use dot_general over (p, v)
-        # directly, so no large transposes materialize
-        D = (Ek[:, :, None] * W_o.reshape(O, 1, 18)).reshape(O, K * 18)
-        W_p = _mm(Ep.T, D).reshape(P, K * 6, 3)
+        Hll = SUM[K:, 42:51].reshape(P, 3, 3)
+        b_l = SUM[K:, 51:54]
+        # dense pose-landmark coupling in [P, K*6, 3] layout; downstream
+        # contractions use dot_general over (p, v) directly, so no large
+        # transposes materialize
+        W_p = SUM[K:, 54:].reshape(P, K * 6, 3)
 
         # ---- inertial + walk blocks: batch the four (i,i)/(i,j)/(j,i)/
         # (j,j) block products of both edge families into ONE einsum and

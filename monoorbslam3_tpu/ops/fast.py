@@ -35,13 +35,14 @@ CIRCLE = np.array(
 ARC_LEN = 9
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """[H, W] float -> [H, W] corner score (0 where not a corner).
+def fast_score_raw(img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] float -> [H, W] un-thresholded corner score.
 
     Score is the OpenCV-style V value: the largest t' such that some
     9-contiguous arc is entirely brighter/darker than center by t',
-    computed as max over arcs of the arc-min |difference|. Pixels whose
-    score <= threshold are zeroed.
+    computed as max over arcs of the arc-min |difference|. Kept
+    un-thresholded so sub-pixel peak interpolation sees the true local
+    score surface (thresholded neighbors would bias the parabola).
     """
     diffs = jnp.stack(
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) - img for dy, dx in CIRCLE],
@@ -60,8 +61,43 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
     v_bright = arc_min_max(diffs)  # bright arcs: min diff over arc, max over arcs
     v_dark = arc_min_max(-diffs)
-    score = jnp.maximum(v_bright, v_dark)
+    return jnp.maximum(v_bright, v_dark)
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """[H, W] float -> [H, W] corner score, zeroed where <= threshold."""
+    score = fast_score_raw(img)
     return jnp.where(score > threshold, score, 0.0)
+
+
+def subpixel_peak_offsets(score: jnp.ndarray, ys: jnp.ndarray,
+                          xs: jnp.ndarray, valid: jnp.ndarray):
+    """Separable quadratic peak interpolation at integer keypoints.
+
+    Fit a parabola through (prev, center, next) of the RAW score surface
+    per axis; the peak offset is 0.5*(prev-next)/(prev+next-2*center),
+    in (-0.5, 0.5) whenever center is a strict local max (select feeds
+    NMS maxima, so the curvature guard only trips on flat plateaus).
+    The reference keeps integer FAST corners (ORBExtractor.cpp:572-617);
+    sub-pixel localization is a deliberate accuracy improvement — it
+    costs five [N]-sized gathers, and integer quantization (sigma ~0.29
+    px uniform) otherwise dominates the measurement noise floor.
+
+    Returns (offx [N], offy [N]) float32, zero for invalid slots.
+    """
+    C = score[ys, xs]
+    L = score[ys, xs - 1]
+    R = score[ys, xs + 1]
+    U = score[ys - 1, xs]
+    D = score[ys + 1, xs]
+
+    def axis_offset(prev, nxt):
+        den = prev + nxt - 2.0 * C
+        off = 0.5 * (prev - nxt) / jnp.where(den < -1e-6, den, -1.0)
+        return jnp.where(den < -1e-6, jnp.clip(off, -0.5, 0.5), 0.0)
+
+    m = valid.astype(jnp.float32)
+    return axis_offset(L, R) * m, axis_offset(U, D) * m
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:

@@ -203,6 +203,7 @@ class OrbExtractor:
         min_th_fast: float = 7.0,
         cell: int = 16,
         per_cell: int = 4,
+        subpixel: bool = False,
     ):
         self.height, self.width = height, width
         self.n_features = n_features
@@ -210,6 +211,14 @@ class OrbExtractor:
         self.scale = scale
         self.ini_th, self.min_th = ini_th_fast, min_th_fast
         self.cell, self.per_cell = cell, per_cell
+        # sub-pixel parabola refinement on the FAST V-score is OFF by
+        # default: measured on the rendered-image e2e world it WORSENS
+        # KF ATE 13.3 -> 16.5 cm (2026-08-17 A/B, same seed) — the V-score
+        # peak moves with viewpoint-dependent intensity asymmetries, so
+        # refined positions are less view-consistent than the NMS argmax
+        # even though they quantize finer. Kept as an option for sensors /
+        # scenes where it measures better.
+        self.subpixel = subpixel
         self.quotas = level_quotas(n_features, n_levels, scale)
         self.scale_factors = np.array([scale**l for l in range(n_levels)], np.float32)
         self.sigma2 = self.scale_factors**2  # per-level measurement variance scale
@@ -230,12 +239,13 @@ class OrbExtractor:
         # per-level FAST scoring + grid-bucketed selection (shapes differ
         # per level; everything per-keypoint below is batched across levels)
         xs, ys_at, out_xy, out_resp, out_level, out_valid = [], [], [], [], [], []
+        raw_rows, kx_at, ky_at = [], [], []
         for lvl, li in enumerate(levels):
             quota = self.quotas[lvl]
             if quota == 0:
                 continue
-            score = fast_ops.fast_score_map(li, self.min_th)
-            score = fast_ops.nms3(score)
+            raw = fast_ops.fast_score_raw(li)
+            score = fast_ops.nms3(jnp.where(raw > self.min_th, raw, 0.0))
             xy, resp, valid = fast_ops.select_keypoints(
                 score, quota, cell=self.cell, per_cell=self.per_cell, margin=HALF
             )
@@ -245,6 +255,10 @@ class OrbExtractor:
             # atlas (their descriptors are masked out downstream)
             xs.append(jnp.maximum(xi - HALF, 0))
             ys_at.append(jnp.maximum(yi - HALF, 0) + int(self._row_off[lvl]))
+            # keypoint-centered atlas coords for sub-pixel refinement
+            kx_at.append(xi)
+            ky_at.append(yi + int(self._row_off[lvl]))
+            raw_rows.append(jnp.pad(raw, ((0, 0), (0, self.atlas_w - raw.shape[1]))))
             out_xy.append(xy * self.scale_factors[lvl])  # level-0 pixel coords
             out_resp.append(resp)
             out_level.append(jnp.full(quota, lvl, jnp.int32))
@@ -265,13 +279,27 @@ class OrbExtractor:
         ang = ic_angles(patches_raw)
         desc = brief_descriptors(blur_patches(patches_raw), ang)
 
+        level_all = jnp.concatenate(out_level)
+        valid_all = jnp.concatenate(out_valid)
+        xy_all = jnp.concatenate(out_xy)
+        if self.subpixel:
+            # optional sub-pixel localization: one cross-level parabola
+            # pass on a packed raw-score atlas (see __init__ note: off by
+            # default — measured less view-consistent on rendered scenes)
+            score_atlas = jnp.concatenate(raw_rows, axis=0)
+            offx, offy = fast_ops.subpixel_peak_offsets(
+                score_atlas, jnp.concatenate(ky_at), jnp.concatenate(kx_at),
+                valid_all)
+            sf = jnp.asarray(self.scale_factors)[level_all]
+            xy_all = xy_all + jnp.stack([offx, offy], -1) * sf[:, None]
+
         return {
-            "xy": jnp.concatenate(out_xy),
+            "xy": xy_all,
             "response": jnp.concatenate(out_resp),
-            "level": jnp.concatenate(out_level),
+            "level": level_all,
             "angle": ang,
             "desc": desc,
-            "valid": jnp.concatenate(out_valid),
+            "valid": valid_all,
         }
 
     def __call__(self, img) -> dict:

@@ -145,26 +145,29 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
             r_v, Jc, Jl, w_v, chi2_v, c_vis = _vis_linearize(
                 pb, camera, R_cb, t_cb, huber_delta2)
 
-            JcW = Jc * w_v[:, None, None]  # [O, 2, 6]
-            JlW = Jl * w_v[:, None, None]
-            Hc_o = jnp.einsum("oik,oil->okl", JcW, Jc)  # [O, 6, 6]
-            Hll_o = jnp.einsum("oik,oil->okl", JlW, Jl)
-            W_o = jnp.einsum("oik,oil->okl", JcW, Jl)  # [O, 6, 3]
-            bc_o = -jnp.einsum("oik,oi->ok", JcW, r_v)
-            bl_o = -jnp.einsum("oik,oi->ok", JlW, r_v)
+            # fused assembly (mirrors solver.schur_ba): one augmented-
+            # Jacobian block product, one stacked one-hot matmul
+            Ja = jnp.concatenate([Jc, Jl, -r_v[:, :, None]], -1)  # [O, 2, 10]
+            B = jnp.einsum("oik,oil->okl", Ja * w_v[:, None, None], Ja)
+            W_o = B[:, :6, 6:9]  # [O, 6, 3]
+            cols = jnp.concatenate([
+                B[:, :6, :6].reshape(Ol, 36),
+                B[:, :6, 9:10].reshape(Ol, 6),
+                B[:, 6:9, 6:9].reshape(Ol, 9),
+                B[:, 6:9, 9:10].reshape(Ol, 3),
+                (Ek[:, :, None] * W_o.reshape(Ol, 1, 18)).reshape(Ol, K * 18),
+            ], -1)
+            SUM = _mm(jnp.concatenate([Ek, Ep], 1).T, cols)
 
-            camk = _mm(Ek.T, jnp.concatenate([Hc_o.reshape(Ol, 36), bc_o], -1))
+            camk = SUM[:K, :42]
             Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
             Hcc = Hcc.at[diag_idx, diag_idx, :6, :6].add(
                 camk[:, :36].reshape(K, 6, 6))
             b_c = jnp.zeros((K, 15), jnp.float32).at[:, :6].set(camk[:, 36:])
 
-            lmk = _mm(Ep.T, jnp.concatenate([Hll_o.reshape(Ol, 9), bl_o], -1))
-            Hll = lmk[:, :9].reshape(Pl, 3, 3)
-            b_l = lmk[:, 9:]
-
-            D = (Ek[:, :, None] * W_o.reshape(Ol, 1, 18)).reshape(Ol, K * 18)
-            W_p = _mm(Ep.T, D).reshape(Pl, K * 6, 3)
+            Hll = SUM[K:, 42:51].reshape(Pl, 3, 3)
+            b_l = SUM[K:, 51:54]
+            W_p = SUM[K:, 54:].reshape(Pl, K * 6, 3)
 
             # inertial + walk + priors touch only camera blocks; weight by
             # on0 so the psum does not double count

@@ -113,3 +113,36 @@ def test_masked_nn_match_respects_mask_and_ratio():
     m[:, 4] = False
     idx2, _ = matching.masked_nn_match(d, jnp.asarray(m), max_dist=10, ratio=0.9, mutual=False)
     assert np.asarray(idx2)[0] == 0
+
+
+def test_subpixel_peak_offsets_recover_parabola_peak():
+    """On an analytic quadratic peak the refinement must recover the
+    sub-pixel maximum; invalid slots must get zero offset."""
+    h, w = 32, 32
+    cy, cx = 15.7, 16.3  # true peak
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    score = 100.0 - (ys - cy) ** 2 - (xs - cx) ** 2
+    iy, ix = 16, 16  # integer argmax
+    offx, offy = fast_ops.subpixel_peak_offsets(
+        jnp.asarray(score),
+        jnp.asarray([iy, 0], np.int32), jnp.asarray([ix, 0], np.int32),
+        jnp.asarray([True, False]))
+    np.testing.assert_allclose(float(offx[0]), cx - ix, atol=1e-3)
+    np.testing.assert_allclose(float(offy[0]), cy - iy, atol=1e-3)
+    assert float(offx[1]) == 0.0 and float(offy[1]) == 0.0
+
+
+def test_extractor_subpixel_flag():
+    """subpixel=True must only move keypoints by < 0.5 px at their level's
+    scale and must not change descriptors/validity."""
+    img = _textured_image()
+    e0 = OrbExtractor(H, W, n_features=128, subpixel=False)
+    e1 = OrbExtractor(H, W, n_features=128, subpixel=True)
+    f0, f1 = e0(img), e1(img)
+    np.testing.assert_array_equal(np.asarray(f0["desc"]), np.asarray(f1["desc"]))
+    np.testing.assert_array_equal(np.asarray(f0["valid"]), np.asarray(f1["valid"]))
+    v = np.asarray(f0["valid"])
+    sf = e0.scale_factors[np.asarray(f0["level"])[v]]
+    d = np.abs(np.asarray(f1["xy"])[v] - np.asarray(f0["xy"])[v])
+    assert (d <= 0.5 * sf[:, None] + 1e-5).all()
+    assert (d > 0).any(), "refinement moved nothing"
