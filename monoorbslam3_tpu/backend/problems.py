@@ -214,6 +214,7 @@ class Problems:
         self._preint_batch = jax.jit(jax.vmap(
             lambda g, a, d, m, bg, ba: preintegrate(g, a, d, m, bg, ba, calib)
         ))
+        self._whiten_batch = jax.jit(PreintEdge.from_preintegrated)
 
     # -- frame optimize -------------------------------------------------
 
@@ -234,7 +235,7 @@ class Problems:
                            prior_ref: KfState | None = None):
         """Frame pose+velocity+bias tied to the last KF via the inertial edge
         (poseFullOptimize)."""
-        edge = PreintEdge.from_preintegrated(pre)
+        edge = self._whiten_batch(pre)  # jitted: eager whitening recompiled
         use_prior = prior_inv_sigma is not None
         prior_ref = prior_ref if prior_ref is not None else state0
         pis = jnp.asarray(prior_inv_sigma, jnp.float32) if use_prior else jnp.zeros(9, jnp.float32)
@@ -248,17 +249,27 @@ class Problems:
 
     # -- BA problems ----------------------------------------------------
 
-    def _batch_edges(self, store, ordered_ids):
-        """Preintegrate the KF->KF IMU windows for consecutive ids, batched."""
+    def _batch_edges(self, store, ordered_ids, cap: int | None = None):
+        """Preintegrate the KF->KF IMU windows for consecutive ids, batched.
+
+        The edge-count axis is padded to `cap` (default: the next multiple
+        of 16) so the jitted preintegration + whitening always trace at a
+        bounded set of shapes — with a raw [E] axis every new keyframe
+        count triggered an XLA recompile mid-run (minutes each over a
+        remote-device link). Padded rows preintegrate zero samples
+        (identity delta, dt 0) and are masked by callers' edge validity.
+        Returns a PreintEdge with NUMPY leaves of leading size >= E, so
+        callers slice/assemble on the host without tracing."""
         E = len(ordered_ids) - 1
         if E <= 0:
             return None
-        g = np.zeros((E, self.imu_cap, 3), np.float32)
-        a = np.zeros((E, self.imu_cap, 3), np.float32)
-        d = np.zeros((E, self.imu_cap), np.float32)
-        m = np.zeros((E, self.imu_cap), np.float32)
-        bg = np.zeros((E, 3), np.float32)
-        ba = np.zeros((E, 3), np.float32)
+        cap = max(cap or 0, -(-E // 16) * 16)
+        g = np.zeros((cap, self.imu_cap, 3), np.float32)
+        a = np.zeros((cap, self.imu_cap, 3), np.float32)
+        d = np.zeros((cap, self.imu_cap), np.float32)
+        m = np.zeros((cap, self.imu_cap), np.float32)
+        bg = np.zeros((cap, 3), np.float32)
+        ba = np.zeros((cap, 3), np.float32)
         for e in range(E):
             k = ordered_ids[e]
             buf = store.kf_imu.get(k)
@@ -269,7 +280,8 @@ class Problems:
             bg[e] = store.kf_bg[k]
             ba[e] = store.kf_ba[k]
         pre = self._preint_batch(g, a, d, m, bg, ba)
-        return PreintEdge.from_preintegrated(pre)
+        edge = self._whiten_batch(pre)
+        return jax.tree_util.tree_map(np.asarray, edge)
 
     def build_window_problem(self, store, opt_ids, fixed_ids,
                              inertial=False, opt_points=True,
@@ -347,10 +359,10 @@ class Problems:
         ie_valid = np.zeros(E, bool)
         walk_inv = np.zeros((E, 6), np.float32)
         walk_valid = np.zeros(E, bool)
-        edge = _identity_edge_batch(E)
+        edge = jax.tree_util.tree_map(np.asarray, _identity_edge_batch(E))
         if inertial and nk >= 2:
             ordered = sorted(ids, key=lambda k: store.kf_time[k])
-            real = self._batch_edges(store, ordered)
+            real = self._batch_edges(store, ordered, cap=E)
             ne = min(len(ordered) - 1, E)
             for e in range(ne):
                 ie_i[e] = slot[ordered[e]]
@@ -364,10 +376,15 @@ class Problems:
                 walk_inv[e, :3] = 1.0 / max(wg, 1e-9)
                 walk_inv[e, 3:] = 1.0 / max(wa, 1e-9)
                 walk_valid[e] = ie_valid[e]
-            edge = jax.tree_util.tree_map(
-                lambda full, realv: full.at[:ne].set(realv[:ne]) if ne > 0 else full,
-                edge, real,
-            )
+            if ne > 0:
+                # host-side splice (numpy) — an eager `.at[:ne].set` here
+                # recompiled per distinct ne (profiled: 32 XLA compiles
+                # mid-run on the synthetic drive)
+                edge = jax.tree_util.tree_map(
+                    lambda full, realv: np.concatenate(
+                        [realv[:ne], full[ne:]], axis=0),
+                    edge, real,
+                )
 
         prior_inv_sigma = np.zeros((K, 15), np.float32)
         if priors:
@@ -383,7 +400,8 @@ class Problems:
             obs_uv=jnp.asarray(o_uv), obs_inv_sigma2=jnp.asarray(o_is2),
             obs_valid=jnp.asarray(o_val),
             ie_i=jnp.asarray(ie_i), ie_j=jnp.asarray(ie_j),
-            ie_edge=edge, ie_valid=jnp.asarray(ie_valid),
+            ie_edge=jax.tree_util.tree_map(jnp.asarray, edge),
+            ie_valid=jnp.asarray(ie_valid),
             walk_inv_sigma=jnp.asarray(walk_inv), walk_valid=jnp.asarray(walk_valid),
             prior_inv_sigma=jnp.asarray(prior_inv_sigma), prior_ref=kf,
         )
@@ -505,9 +523,18 @@ class Problems:
         if K < 3:
             return None
         R, t, v, _, _ = store.keyframe_states(ids)
-        edge = self._batch_edges(store, ids)
-        kf = KfState(jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
-                     jnp.zeros((K, 3)), jnp.zeros((K, 3)))
+        # bucket the problem size (multiple of 16) so the jitted init impl
+        # compiles at a bounded, pre-warmable set of shapes
+        Kp = -(-K // 16) * 16
+        edge = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[: Kp - 1]),
+            self._batch_edges(store, ids, cap=Kp - 1))
+        kf_valid = jnp.asarray(np.arange(Kp) < K)
+        kf = KfState(
+            jnp.asarray(np.concatenate([R, _pad_kf(R, Kp - K)])),
+            jnp.asarray(np.concatenate([t, _pad_kf(t, Kp - K)])),
+            jnp.asarray(np.concatenate([v, _pad_kf(v, Kp - K)])),
+            jnp.zeros((Kp, 3)), jnp.zeros((Kp, 3)))
 
         # gravity seed: direction of mean preintegrated velocity delta
         # (LocalMapping.cpp:391-407)
@@ -526,7 +553,8 @@ class Problems:
         # priors are information values (reference passes 1e6/1e12,
         # LocalMapping.cpp:57-60); residual whitening uses sqrt(info)
         out = _inertial_init_impl(
-            kf, edge, jnp.asarray(R_wg0), jnp.float32(np.sqrt(prior_g)),
+            kf, edge, kf_valid, jnp.asarray(R_wg0),
+            jnp.float32(np.sqrt(prior_g)),
             jnp.float32(np.sqrt(prior_a)), n_iters=n_iters, with_scale=with_scale,
         )
         R_wg = np.asarray(out["R_wg"])
@@ -555,12 +583,18 @@ class Problems:
 
 @partial(jax.jit, static_argnames=("n_iters", "with_scale"))
 @f32_matmuls
-def _inertial_init_impl(kf: KfState, edge: PreintEdge, R_wg0,
+def _inertial_init_impl(kf: KfState, edge: PreintEdge, kf_valid, R_wg0,
                         prior_inv_g, prior_inv_a,
                         n_iters: int = 60, with_scale: bool = True):
+    """kf/edge may be PADDED to a bucketed capacity (kf_valid [K] marks the
+    real keyframes): the init fires mid-run, and an unbucketed K would
+    recompile this (minutes over a remote-device link) at whatever KF count
+    the session happens to have. Padded edges get zero residual weight;
+    padded velocity deltas are pinned by a unit prior so H stays SPD."""
     K = kf.t_wb.shape[0]
     E = K - 1
     dim = 3 * K + 3 + 3 + 2 + 1  # v, bg, ba, gravity theta, log-scale
+    e_valid = (kf_valid[:-1] & kf_valid[1:]).astype(jnp.float32)
 
     def unpack(x):
         v = kf.v + x[: 3 * K].reshape(K, 3)
@@ -577,11 +611,14 @@ def _inertial_init_impl(kf: KfState, edge: PreintEdge, R_wg0,
                      jnp.broadcast_to(bg, (E, 3)), jnp.broadcast_to(ba, (E, 3)))
         s2 = KfState(kf.R_wb[1:], kf.t_wb[1:], v[1:],
                      jnp.broadcast_to(bg, (E, 3)), jnp.broadcast_to(ba, (E, 3)))
-        r_ie = res.inertial_gs_residual(s1, s2, edge, R_wg, ls).reshape(-1)
+        r_ie = (res.inertial_gs_residual(s1, s2, edge, R_wg, ls)
+                * e_valid[:, None]).reshape(-1)
         r_prior = jnp.concatenate([bg, ba]) * jnp.concatenate(
             [jnp.full(3, prior_inv_g), jnp.full(3, prior_inv_a)]
         )
-        return jnp.concatenate([r_ie, r_prior])
+        r_pin = (x[: 3 * K].reshape(K, 3)
+                 * (1.0 - kf_valid.astype(jnp.float32))[:, None]).reshape(-1)
+        return jnp.concatenate([r_ie, r_prior, r_pin])
 
     def cost_fn(x):
         r = residual_fn(x)
