@@ -362,3 +362,39 @@ def test_inv_spd15_matches_linalg():
     x2 = np.asarray(sol.solve_spd15_jacobi(jnp.asarray(H2), jnp.asarray(g2)))
     assert np.allclose(x2[:, :6], x2_ref[:, :6], rtol=2e-3, atol=2e-4)
     assert np.allclose(x2[:, 6:], 0.0, atol=1e-5)
+
+
+def test_batch_edges_traces_once_across_edge_counts():
+    """The edge-batching path must NOT retrace per keyframe count: a new
+    XLA compile mid-run costs minutes over a remote-device link (see
+    problems.py _batch_edges). All edge counts within one 16-bucket must
+    reuse the same traced preintegration + whitening."""
+    from monoorbslam3_tpu.backend.problems import Problems
+    from monoorbslam3_tpu.models.imu import ImuBuffer
+
+    calib = ImuCalib.create(
+        R_bc=np.eye(3, dtype=np.float32), t_bc=np.zeros(3, np.float32),
+        noise_gyro=1.7e-4, noise_acc=2e-3, walk_gyro=1e-5, walk_acc=3e-3,
+        freq=200.0)
+    problems = Problems(CAM, calib, local_k=8, local_p=64, local_o=128,
+                        imu_cap=64)
+
+    class StubStore:
+        def __init__(self, n):
+            self.kf_imu = {}
+            self.kf_bg = np.zeros((n, 3), np.float32)
+            self.kf_ba = np.zeros((n, 3), np.float32)
+            for k in range(n):
+                buf = ImuBuffer(capacity=64)
+                for _ in range(10):
+                    buf.add(RNG.normal(0, 0.01, 3), [0, 0, 9.8], 0.005)
+                self.kf_imu[k] = buf
+
+    sizes = []
+    for n in (4, 6, 11, 14):  # edge counts 3, 5, 10, 13 -> one 16-bucket
+        edge = problems._batch_edges(StubStore(n), list(range(n)))
+        assert isinstance(edge.dR, np.ndarray), "edges must be host arrays"
+        assert edge.dR.shape[0] == 16, "expected the 16-bucket capacity"
+        sizes.append((problems._preint_batch._cache_size(),
+                      problems._whiten_batch._cache_size()))
+    assert sizes[-1] == sizes[0] == (1, 1), f"retraced: {sizes}"
