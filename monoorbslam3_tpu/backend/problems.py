@@ -503,6 +503,71 @@ class Problems:
                                   inertial=True, vb_dofs=True, priors=True,
                                   pose_dofs=False, opt_points=False)
 
+    def warm_solvers(self, n_feat: int, ba_iters=(8, 4), init_buckets=(16,),
+                     init_variants=((60, True), (30, False))):
+        """Pre-compile the expensive jitted solvers at their runtime shapes.
+
+        The C++ reference pays no JIT cost; here a cold XLA compile of the
+        window BA or the IMU-init solve takes seconds (CPU) to minutes
+        (remote TPU link), which would stall a real-time stream at the
+        exact moment the mapper first needs them. Values are dummies —
+        only the traced shapes matter. `ba_iters` must match the mapper's
+        dispatch (LocalMapping.process: 8 then 4-iteration polish);
+        `init_variants` are (n_iters, with_scale) of inertialOptimize and
+        gravityOptimize."""
+        import jax
+
+        K, P, O = self.local_k, self.local_p, self.local_o
+        E = K - 1
+        eyeK = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        kf = KfState(jnp.asarray(eyeK), jnp.zeros((K, 3)), jnp.zeros((K, 3)),
+                     jnp.zeros((K, 3)), jnp.zeros((K, 3)))
+        pts = np.zeros((P, 3), np.float32)
+        pts[:, 2] = 5.0
+        problem = BAProblem(
+            kf=kf, kf_dof=jnp.ones((K, 15)),
+            points=jnp.asarray(pts), pt_active=jnp.ones(P, bool),
+            obs_kf=jnp.zeros(O, jnp.int32), obs_pt=jnp.zeros(O, jnp.int32),
+            obs_uv=jnp.zeros((O, 2)), obs_inv_sigma2=jnp.ones(O),
+            obs_valid=jnp.zeros(O, bool),
+            ie_i=jnp.arange(E, dtype=jnp.int32),
+            ie_j=jnp.arange(1, E + 1, dtype=jnp.int32),
+            ie_edge=_identity_edge_batch(E), ie_valid=jnp.zeros(E, bool),
+            walk_inv_sigma=jnp.ones((E, 6)), walk_valid=jnp.zeros(E, bool),
+            prior_inv_sigma=jnp.zeros((K, 15)), prior_ref=kf,
+        )
+        outs = []
+        for n in ba_iters:
+            outs.append(schur_ba(problem, self.camera, self.calib.R_cb,
+                                 self.calib.t_cb, n_iters=n)[1])
+
+        # frame pose optimizers at the feature capacity
+        state0 = KfState(jnp.eye(3), jnp.zeros(3), jnp.zeros(3),
+                         jnp.zeros(3), jnp.zeros(3))
+        fpts = np.zeros((n_feat, 3), np.float32)
+        fpts[:, 2] = 5.0
+        zs = np.zeros((n_feat, 2), np.float32)
+        ones = np.ones(n_feat, np.float32)
+        nov = np.zeros(n_feat, bool)
+        outs.append(self.pose_optimize(state0, fpts, zs, ones, nov)[0].t_wb)
+        from ..models.imu import ImuBuffer
+        pre = ImuBuffer().integrate(np.zeros(3), np.zeros(3), self.calib)
+        outs.append(self.pose_full_optimize(
+            state0, fpts, zs, ones, nov, state0, pre)[0].t_wb)
+
+        for Kp in init_buckets:
+            kfb = KfState(
+                jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))),
+                jnp.zeros((Kp, 3)), jnp.zeros((Kp, 3)),
+                jnp.zeros((Kp, 3)), jnp.zeros((Kp, 3)))
+            edgeb = _identity_edge_batch(Kp - 1)
+            validb = jnp.asarray(np.arange(Kp) < max(Kp - 2, 2))
+            for n_it, ws in init_variants:
+                outs.append(_inertial_init_impl(
+                    kfb, edgeb, validb, jnp.eye(3), jnp.float32(1e3),
+                    jnp.float32(1e6), n_iters=n_it, with_scale=ws)["v"])
+        jax.block_until_ready(outs)
+
     def full_inertial_optimize(self, store, n_iters=12):
         """Full VI-BA over all KFs + points (fullInertialOptimize)."""
         ids = store.keyframe_ids()

@@ -144,6 +144,11 @@ def run_sequence(system, dataset, realtime_fps: float | None = None,
                  log=print):
     """Drive a System over a dataset (the demo main loop,
     eurocDemo.cpp:44-74). Returns per-frame states."""
+    if realtime_fps:
+        # real-time pacing cannot absorb a cold XLA compile mid-stream —
+        # trace every solver at its runtime shape before frame 0
+        log("warmup: pre-compiling solver shapes...")
+        system.warmup()
     states = []
     t_start = time.perf_counter()
     for i, (t, img, imu) in enumerate(dataset.frames()):

@@ -65,6 +65,45 @@ class System:
 
     # ------------------------------------------------------------------
 
+    def warmup(self, ba_iters=(8, 4), init_buckets=(16,),
+               init_variants=((60, True), (30, False))):
+        """Pre-compile every expensive jitted program at its runtime shape
+        so a real-time stream never stalls on XLA compilation (the
+        reference's C++ has no JIT cost to hide; on TPU a cold window-BA
+        or IMU-init compile takes seconds to minutes). Dummy values —
+        only the traced shapes matter. Optional: skipping it only moves
+        the same compiles to first use."""
+        import numpy as _np
+        import jax as _jax
+        from .frontend.local_mapping import (
+            _fuse_project_kernel, _triangulate_pair_kernel, _K_of,
+        )
+
+        outs = []
+        if self.extractor is not None:
+            outs.append(self.extractor(
+                _np.zeros((self.extractor.height, self.extractor.width),
+                          _np.float32))["desc"])
+        self.problems.warm_solvers(self.tracking.n_feat, ba_iters=ba_iters,
+                                   init_buckets=init_buckets,
+                                   init_variants=init_variants)
+
+        n = self.store.n_feat
+        K = jnp.asarray(_K_of(self.camera))
+        xy = jnp.zeros((n, 2))
+        desc = jnp.zeros((n, 8), jnp.uint32)
+        val = jnp.zeros(n, bool)
+        s2 = jnp.ones(n)
+        eye = jnp.eye(3)
+        z3 = jnp.zeros(3)
+        outs.append(_triangulate_pair_kernel(
+            xy, desc, val, s2, xy, desc, val, s2, K, eye, z3, eye,
+            jnp.asarray([0.1, 0.0, 0.0]))[1])
+        outs.append(_fuse_project_kernel(
+            jnp.zeros((n, 3)), desc, val, xy, desc, val, s2, K, eye, z3,
+            4.0))
+        _jax.block_until_ready(outs)
+
     def _on_new_kf(self, k: int, initial: bool = False):
         if self._async:
             self._queue.put((k, initial))

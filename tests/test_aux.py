@@ -162,3 +162,28 @@ def test_async_mapper_smoke():
     assert syst.mapper.kf_counter == 1, "async mapper never processed the KF"
     syst.shutdown()
     assert not syst._thread.is_alive()
+
+
+def test_system_warmup_compiles_solver_shapes():
+    """System.warmup must run clean and leave the mapper's BA entry and the
+    bucketed IMU-init solve already traced (no compile stall at first
+    use). Uses tiny iteration counts — only the traced shapes matter."""
+    import jax.numpy as jnp
+    import numpy as np
+    from monoorbslam3_tpu.backend import problems as problems_mod
+    from monoorbslam3_tpu.models.camera import Pinhole
+    from monoorbslam3_tpu.models.imu import ImuCalib
+    from monoorbslam3_tpu.system import System
+
+    cam = Pinhole.create(fx=100.0, fy=100.0, cx=32.0, cy=32.0,
+                         width=64, height=64)
+    calib = ImuCalib.create(R_bc=np.eye(3, dtype=np.float32),
+                            t_bc=np.zeros(3, np.float32),
+                            noise_gyro=1e-4, noise_acc=1e-3,
+                            walk_gyro=1e-5, walk_acc=1e-4, freq=100.0)
+    syst = System(cam, calib, config={
+        "n_features": 32, "local_k": 4, "local_p": 32, "local_o": 64})
+    before = problems_mod._inertial_init_impl._cache_size()
+    syst.warmup(ba_iters=(2,), init_buckets=(16,), init_variants=((2, True),))
+    assert problems_mod._inertial_init_impl._cache_size() == before + 1
+    assert problems_mod.schur_ba._cache_size() >= 1
