@@ -41,29 +41,33 @@ IMU_FINISHED = 2
 def _triangulate_pair_kernel(
     xy1, desc1, valid1, sigma2_1,
     xy2, desc2, valid2, sigma2_2,
-    K, R_cw1, t_cw1, R_cw2, t_cw2,
+    camera, R_cw1, t_cw1, R_cw2, t_cw2,
 ):
     """Match unmatched features of two KFs with an epipolar gate, then
     triangulate and apply the acceptance gates (LocalMapping.cpp:146-259).
 
-    All coords are undistorted pixels. Returns (match_idx [N1] into KF2,
-    points [N1, 3] world, accept [N1] bool).
+    Camera-generic: features are back-projected to normalized rays, the
+    epipolar test and DLT run in normalized coordinates, and the
+    reprojection gates use the camera's full forward model — so the same
+    kernel is exact for ideal pinhole (undistorted keypoints) AND KB4
+    fisheye (distorted keypoints, like the reference's
+    Camera::backProject-based triangulation). Returns (match_idx [N1]
+    into KF2, points [N1, 3] world, accept [N1] bool).
     """
-    # fundamental matrix from poses: x2' F x1 = 0
-    R12 = R_cw1 @ R_cw2.T
-    # relative pose c1 -> c2: T_21 = T_c2w * T_wc1
+    # relative pose c1 -> c2 and the essential matrix: m2' E m1 = 0
     R21 = R_cw2 @ R_cw1.T
     t21 = t_cw2 - R21 @ t_cw1
-    Kinv = jnp.linalg.inv(K)
     E = lie.hat(t21) @ R21
-    F = Kinv.T @ E @ Kinv
 
-    one1 = jnp.ones_like(xy1[:, :1])
-    p1 = jnp.concatenate([xy1, one1], axis=-1)
-    p2 = jnp.concatenate([xy2, one1], axis=-1)
-    l2 = p1 @ F.T  # epipolar lines of KF1 features in KF2
-    num = p2 @ F @ p1.T  # [N2, N1] -> transpose below
-    d2 = (num.T**2) / jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12)[:, None]
+    m1 = camera.back_project(xy1)  # [N1, 3] normalized (x/z, y/z, 1)
+    m2 = camera.back_project(xy2)
+    l2 = m1 @ E.T  # epipolar lines of KF1 rays in cam-2 normalized coords
+    num = m2 @ E @ m1.T  # [N2, N1] -> transpose below
+    # normalized-coord line distance scaled by the focal length ~= pixel
+    # distance (exact for fx == fy; all shipped profiles are near-square)
+    f2 = 0.25 * (camera.fx + camera.fy) ** 2
+    d2 = f2 * (num.T**2) / jnp.maximum(
+        l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12)[:, None]
     epi_ok = d2 < 3.84 * sigma2_2[None, :]
 
     pair_mask = valid1[:, None] & valid2[None, :] & epi_ok
@@ -75,9 +79,10 @@ def _triangulate_pair_kernel(
     safe_idx = jnp.maximum(idx, 0)
     xy2_m = xy2[safe_idx]
 
-    P1 = K @ jnp.concatenate([R_cw1, t_cw1[:, None]], axis=1)
-    P2 = K @ jnp.concatenate([R_cw2, t_cw2[:, None]], axis=1)
-    X = triangulate_dlt(P1, P2, xy1, xy2_m)  # world frame
+    P1 = jnp.concatenate([R_cw1, t_cw1[:, None]], axis=1)  # normalized
+    P2 = jnp.concatenate([R_cw2, t_cw2[:, None]], axis=1)
+    X = triangulate_dlt(P1, P2, m1[:, :2] / m1[:, 2:],
+                        (m2[:, :2] / m2[:, 2:])[safe_idx])  # world frame
 
     # gates
     O1 = -R_cw1.T @ t_cw1
@@ -92,9 +97,8 @@ def _triangulate_pair_kernel(
     z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
 
     def reproj(pc, xy, s2):
-        u = K[0, 0] * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-9) + K[0, 2]
-        v = K[1, 1] * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-9) + K[1, 2]
-        return ((u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2) / s2
+        uv = camera.project(pc)
+        return jnp.sum((uv - xy) ** 2, axis=-1) / s2
 
     e1 = reproj(pc1, xy1, sigma2_1)
     e2 = reproj(pc2, xy2_m, sigma2_2[safe_idx])
@@ -120,14 +124,13 @@ def _triangulate_pair_kernel(
 @partial(jax.jit, static_argnames=())
 def _fuse_project_kernel(pt_xyz, pt_desc, pt_valid,
                          xy, desc, valid, sigma2,
-                         K, R_cw, t_cw, radius_scale):
+                         camera, R_cw, t_cw, radius_scale):
     """Project map points into a KF and find the best feature within radius
-    (the Fuse projection search, ORBMatcher.cpp:524-592)."""
+    (the Fuse projection search, ORBMatcher.cpp:524-592). Uses the
+    camera's full forward model (exact for fisheye too)."""
     pc = pt_xyz @ R_cw.T + t_cw
     z_ok = pc[:, 2] > 0.05
-    u = K[0, 0] * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-9) + K[0, 2]
-    v = K[1, 1] * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-9) + K[1, 2]
-    uv = jnp.stack([u, v], axis=-1)
+    uv = camera.project(pc)
     radius = jnp.full(pt_xyz.shape[0], radius_scale, jnp.float32)
     mask = matching.projection_mask(uv, z_ok & pt_valid, xy, valid, radius)
     idx, dist = matching.masked_nn_match(
@@ -257,7 +260,6 @@ class LocalMapping:
         neighbors = store.covisible_keyframes(k, top=self.triangulate_neighbors)
         if not neighbors:
             neighbors = [j for j in store.recent_keyframes(3) if j != k]
-        K = _K_of(self.problems.camera)
         R_cb = np.asarray(self.calib.R_cb)
         t_cb = np.asarray(self.calib.t_cb)
         R_cw1, t_cw1 = store.kf_pose_cw(k, R_cb, t_cb)
@@ -280,7 +282,7 @@ class LocalMapping:
                 jnp.asarray(free1), jnp.asarray(store.kf_feat_sigma2[k]),
                 jnp.asarray(store.kf_feat_xy[j]), jnp.asarray(store.kf_feat_desc[j]),
                 jnp.asarray(free2), jnp.asarray(store.kf_feat_sigma2[j]),
-                jnp.asarray(K), jnp.asarray(R_cw1.astype(np.float32)),
+                self.problems.camera, jnp.asarray(R_cw1.astype(np.float32)),
                 jnp.asarray(t_cw1.astype(np.float32)),
                 jnp.asarray(R_cw2.astype(np.float32)),
                 jnp.asarray(t_cw2.astype(np.float32)),
@@ -312,7 +314,6 @@ class LocalMapping:
         store = self.store
         if len(pids) == 0:
             return 0
-        K = _K_of(self.problems.camera)
         R_cb = np.asarray(self.calib.R_cb)
         t_cb = np.asarray(self.calib.t_cb)
         cap = store.n_feat
@@ -331,7 +332,7 @@ class LocalMapping:
             jnp.asarray(P), jnp.asarray(D), jnp.asarray(V),
             jnp.asarray(store.kf_feat_xy[j]), jnp.asarray(store.kf_feat_desc[j]),
             jnp.asarray(store.kf_feat_valid[j]), jnp.asarray(store.kf_feat_sigma2[j]),
-            jnp.asarray(K), jnp.asarray(R_cw.astype(np.float32)),
+            self.problems.camera, jnp.asarray(R_cw.astype(np.float32)),
             jnp.asarray(t_cw.astype(np.float32)), radius,
         ))
         n_fused = 0
@@ -453,9 +454,3 @@ class LocalMapping:
                 store.remove_keyframe(k)
 
 
-def _K_of(camera) -> np.ndarray:
-    return np.array(
-        [[float(camera.fx), 0.0, float(camera.cx)],
-         [0.0, float(camera.fy), float(camera.cy)],
-         [0.0, 0.0, 1.0]], np.float32,
-    )

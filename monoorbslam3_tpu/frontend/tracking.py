@@ -147,15 +147,29 @@ class Tracking:
             self.init_frame = frame  # slide the reference forward
             return
 
-        # matched pair arrays (padded to capacity)
+        # matched pair arrays (padded to capacity), mapped to IDEAL pinhole
+        # pixels for the H/F machinery: identity for pinhole (keypoints are
+        # already undistorted), the cv::fisheye::undistortPoints analog for
+        # KB4 (Fisheye.cpp:119-139) whose stored keypoints stay distorted
+        fx, fy = float(self.camera.fx), float(self.camera.fy)
+        cx, cy = float(self.camera.cx), float(self.camera.cy)
+
+        def _ideal(xy):
+            r = np.asarray(self.camera.back_project(jnp.asarray(xy)))
+            z = np.maximum(r[:, 2], 1e-6)
+            uv = np.stack([fx * r[:, 0] / z + cx, fy * r[:, 1] / z + cy], -1)
+            return uv.astype(np.float32), r[:, 2] > 1e-6
+
         N = len(f0.xy)
         xy1 = np.zeros((N, 2), np.float32)
         xy2 = np.zeros((N, 2), np.float32)
         pair_valid = np.zeros(N, bool)
         sel = np.nonzero(matched)[0]
-        xy1[: len(sel)] = f0.xy[sel]
-        xy2[: len(sel)] = f1.xy[idx[sel]]
-        pair_valid[: len(sel)] = True
+        u0, ok0 = _ideal(f0.xy[sel])
+        u1, ok1 = _ideal(f1.xy[idx[sel]])
+        xy1[: len(sel)] = u0
+        xy2[: len(sel)] = u1
+        pair_valid[: len(sel)] = ok0 & ok1
 
         K = np.array(
             [[float(self.camera.fx), 0.0, float(self.camera.cx)],

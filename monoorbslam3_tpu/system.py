@@ -76,7 +76,7 @@ class System:
         import numpy as _np
         import jax as _jax
         from .frontend.local_mapping import (
-            _fuse_project_kernel, _triangulate_pair_kernel, _K_of,
+            _fuse_project_kernel, _triangulate_pair_kernel,
         )
 
         outs = []
@@ -89,7 +89,6 @@ class System:
                                    init_variants=init_variants)
 
         n = self.store.n_feat
-        K = jnp.asarray(_K_of(self.camera))
         xy = jnp.zeros((n, 2))
         desc = jnp.zeros((n, 8), jnp.uint32)
         val = jnp.zeros(n, bool)
@@ -97,11 +96,11 @@ class System:
         eye = jnp.eye(3)
         z3 = jnp.zeros(3)
         outs.append(_triangulate_pair_kernel(
-            xy, desc, val, s2, xy, desc, val, s2, K, eye, z3, eye,
-            jnp.asarray([0.1, 0.0, 0.0]))[1])
+            xy, desc, val, s2, xy, desc, val, s2, self.camera, eye, z3,
+            eye, jnp.asarray([0.1, 0.0, 0.0]))[1])
         outs.append(_fuse_project_kernel(
-            jnp.zeros((n, 3)), desc, val, xy, desc, val, s2, K, eye, z3,
-            4.0))
+            jnp.zeros((n, 3)), desc, val, xy, desc, val, s2, self.camera,
+            eye, z3, 4.0))
         _jax.block_until_ready(outs)
 
     def _on_new_kf(self, k: int, initial: bool = False):

@@ -397,4 +397,7 @@ def test_batch_edges_traces_once_across_edge_counts():
         assert edge.dR.shape[0] == 16, "expected the 16-bucket capacity"
         sizes.append((problems._preint_batch._cache_size(),
                       problems._whiten_batch._cache_size()))
-    assert sizes[-1] == sizes[0] == (1, 1), f"retraced: {sizes}"
+    # No growth across edge counts. (Absolute counts are not asserted:
+    # jax.jit wrappers of the same underlying function share the global
+    # pjit cache, so earlier tests' System instances may pre-seed entries.)
+    assert sizes[-1] == sizes[0], f"retraced: {sizes}"
