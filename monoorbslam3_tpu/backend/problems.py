@@ -503,18 +503,16 @@ class Problems:
                                   inertial=True, vb_dofs=True, priors=True,
                                   pose_dofs=False, opt_points=False)
 
-    def warm_solvers(self, n_feat: int, ba_iters=(8, 4), init_buckets=(16,),
-                     init_variants=((60, True), (30, False))):
+    def warm_solvers(self, n_feat: int, ba_iters=(8, 4)):
         """Pre-compile the expensive jitted solvers at their runtime shapes.
 
         The C++ reference pays no JIT cost; here a cold XLA compile of the
-        window BA or the IMU-init solve takes seconds (CPU) to minutes
-        (remote TPU link), which would stall a real-time stream at the
-        exact moment the mapper first needs them. Values are dummies —
-        only the traced shapes matter. `ba_iters` must match the mapper's
-        dispatch (LocalMapping.process: 8 then 4-iteration polish);
-        `init_variants` are (n_iters, with_scale) of inertialOptimize and
-        gravityOptimize."""
+        window BA takes seconds (CPU) to minutes (remote TPU link), which
+        would stall a real-time stream at the exact moment the mapper first
+        needs it. Values are dummies — only the traced shapes matter.
+        `ba_iters` must match the mapper's dispatch (LocalMapping.process:
+        8 then 4-iteration polish). The IMU init solve needs no warming —
+        it runs on host in f64 (see inertial_optimize)."""
         import jax
 
         K, P, O = self.local_k, self.local_p, self.local_o
@@ -555,17 +553,6 @@ class Problems:
         outs.append(self.pose_full_optimize(
             state0, fpts, zs, ones, nov, state0, pre)[0].t_wb)
 
-        for Kp in init_buckets:
-            kfb = KfState(
-                jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))),
-                jnp.zeros((Kp, 3)), jnp.zeros((Kp, 3)),
-                jnp.zeros((Kp, 3)), jnp.zeros((Kp, 3)))
-            edgeb = _identity_edge_batch(Kp - 1)
-            validb = jnp.asarray(np.arange(Kp) < max(Kp - 2, 2))
-            for n_it, ws in init_variants:
-                outs.append(_inertial_init_impl(
-                    kfb, edgeb, validb, jnp.eye(3), jnp.float32(1e3),
-                    jnp.float32(1e6), n_iters=n_it, with_scale=ws)["v"])
         jax.block_until_ready(outs)
 
     def full_inertial_optimize(self, store, n_iters=12):
@@ -582,51 +569,33 @@ class Problems:
         """Vision-fixed inertial-only init (inertialOptimize): solves per-KF
         velocities, shared bg/ba, gravity direction R_wg, optional log-scale,
         with bias priors. Returns (R_wg, scale, bg, ba) and writes
-        velocities/biases into the store."""
+        velocities/biases into the store.
+
+        Runs ON HOST IN f64 (deliberate host/device cut): the reference
+        solves this with f64 g2o on CPU (Optimize.cpp:93-205). The whitened
+        preintegration information reaches ~2e5 (sigma_dP is micrometers
+        over a 0.25 s window), so the normal equations condition at ~1e10 —
+        far beyond f32, and an on-device f32 LM measurably converges to a
+        wrong flat spot (scale off by 2-3x) whenever the visual KF
+        positions carry more than ~0.1 mm of noise. A <=100-dim solve that
+        fires once per session is control-plane work; the TPU keeps the
+        per-frame and BA hot paths."""
         ids = store.keyframe_ids()
         K = len(ids)
         if K < 3:
             return None
         R, t, v, _, _ = store.keyframe_states(ids)
-        # bucket the problem size (multiple of 16) so the jitted init impl
-        # compiles at a bounded, pre-warmable set of shapes
-        Kp = -(-K // 16) * 16
         edge = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a[: Kp - 1]),
-            self._batch_edges(store, ids, cap=Kp - 1))
-        kf_valid = jnp.asarray(np.arange(Kp) < K)
-        kf = KfState(
-            jnp.asarray(np.concatenate([R, _pad_kf(R, Kp - K)])),
-            jnp.asarray(np.concatenate([t, _pad_kf(t, Kp - K)])),
-            jnp.asarray(np.concatenate([v, _pad_kf(v, Kp - K)])),
-            jnp.zeros((Kp, 3)), jnp.zeros((Kp, 3)))
-
-        # gravity seed: direction of mean preintegrated velocity delta
-        # (LocalMapping.cpp:391-407)
-        dV_sum = np.asarray(edge.dV).sum(axis=0)
-        g_dir = -dV_sum / max(np.linalg.norm(dV_sum), 1e-9)
-        g_i = np.array([0.0, 0.0, -1.0])
-        axis = np.cross(g_i, g_dir)
-        s_norm = np.linalg.norm(axis)
-        cth = float(np.dot(g_i, g_dir))
-        if s_norm < 1e-8:
-            R_wg0 = np.eye(3, dtype=np.float32)
-        else:
-            w = axis / s_norm * np.arctan2(s_norm, cth)
-            R_wg0 = np.asarray(lie.exp_so3(jnp.asarray(w, jnp.float32)))
-
-        # priors are information values (reference passes 1e6/1e12,
-        # LocalMapping.cpp:57-60); residual whitening uses sqrt(info)
-        out = _inertial_init_impl(
-            kf, edge, kf_valid, jnp.asarray(R_wg0),
-            jnp.float32(np.sqrt(prior_g)),
-            jnp.float32(np.sqrt(prior_a)), n_iters=n_iters, with_scale=with_scale,
-        )
-        R_wg = np.asarray(out["R_wg"])
+            lambda a: np.asarray(a[: K - 1], np.float64),
+            self._batch_edges(store, ids, cap=K - 1))
+        out = _inertial_init_host(
+            np.asarray(R, np.float64), np.asarray(t, np.float64),
+            edge, prior_g, prior_a, with_scale=with_scale, n_iters=n_iters)
+        R_wg = out["R_wg"].astype(np.float32)
         scale = float(out["scale"])
-        bg = np.asarray(out["bg"])
-        ba = np.asarray(out["ba"])
-        vels = np.asarray(out["v"])
+        bg = out["bg"].astype(np.float32)
+        ba = out["ba"].astype(np.float32)
+        vels = out["v"].astype(np.float32)
         for i, k in enumerate(ids):
             store.kf_v[k] = vels[i]
             store.kf_bg[k] = bg
@@ -642,80 +611,215 @@ class Problems:
 
 
 # ---------------------------------------------------------------------------
-# inertial init jitted core
+# inertial init host core (f64)
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_iters", "with_scale"))
-@f32_matmuls
-def _inertial_init_impl(kf: KfState, edge: PreintEdge, kf_valid, R_wg0,
-                        prior_inv_g, prior_inv_a,
-                        n_iters: int = 60, with_scale: bool = True):
-    """kf/edge may be PADDED to a bucketed capacity (kf_valid [K] marks the
-    real keyframes): the init fires mid-run, and an unbucketed K would
-    recompile this (minutes over a remote-device link) at whatever KF count
-    the session happens to have. Padded edges get zero residual weight;
-    padded velocity deltas are pinned by a unit prior so H stays SPD."""
-    K = kf.t_wb.shape[0]
+def _np_exp_so3(w: np.ndarray) -> np.ndarray:
+    th = float(np.linalg.norm(w))
+    W = np.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]])
+    if th < 1e-10:
+        return np.eye(3) + W
+    return (np.eye(3) + np.sin(th) / th * W
+            + (1.0 - np.cos(th)) / th**2 * (W @ W))
+
+
+def _np_log_so3(R: np.ndarray) -> np.ndarray:
+    w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    s = np.linalg.norm(w)
+    if s < 1e-10:
+        return w
+    th = np.arctan2(s, c)
+    return w * (th / s)
+
+
+def _gravity_r_wg0(g_dir: np.ndarray) -> np.ndarray:
+    """Rotation taking (0,0,-1) onto the given gravity direction."""
+    g_i = np.array([0.0, 0.0, -1.0])
+    axis = np.cross(g_i, g_dir)
+    s_norm = np.linalg.norm(axis)
+    if s_norm < 1e-9:
+        return np.eye(3) if g_dir[2] < 0 else _np_exp_so3(np.array([np.pi, 0, 0]))
+    return _np_exp_so3(axis / s_norm * np.arctan2(s_norm, float(g_i @ g_dir)))
+
+
+def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
+                        with_scale: bool, n_iters: int = 60):
+    """f64 host LM for the vision-fixed inertial init (EdgeInertialGS
+    residuals, G2oTypes.cpp:71-163), seeded by the CLOSED-FORM linear
+    visual-inertial alignment: with rotations fixed, the preintegration
+    equations are exactly linear in {metric velocities, gravity vector,
+    scale}, so one least-squares solve lands next to the optimum and the
+    LM only refines biases + renormalizes |g| to 9.8. All math is numpy
+    f64 — see inertial_optimize for why this cannot run in f32.
+
+    Velocities are returned in the VISUAL (map) scale, matching the
+    EdgeInertialGS parametrization and MapStore.apply_scale_rotation's
+    `v *= scale` gauge rewrite."""
+    K = R_wb.shape[0]
     E = K - 1
-    dim = 3 * K + 3 + 3 + 2 + 1  # v, bg, ba, gravity theta, log-scale
-    e_valid = (kf_valid[:-1] & kf_valid[1:]).astype(jnp.float32)
+    Rs, ps = R_wb, t_wb
+    dR_m, dV_m, dP_m = edge.dR, edge.dV, edge.dP
+    dts = edge.dt
+    L_inv = edge.L_inv
+
+    # --- gyro-bias seed from rotation residuals ----------------------
+    # er(bg) ~= log(dR^T R1^T R2) - JRg (bg - bg0); rotation-only, so it
+    # decouples from v/g/s and keeps the bias signal out of the empirical
+    # whitening floor below.
+    Ag_rows = [edge.JRg[i] for i in range(E)]
+    bg_rows = [_np_log_so3(dR_m[i].T @ Rs[i].T @ Rs[i + 1])
+               + edge.JRg[i] @ edge.bg0[i] for i in range(E)]
+    bg_seed, *_ = np.linalg.lstsq(np.concatenate(Ag_rows),
+                                  np.concatenate(bg_rows), rcond=None)
+    if not np.isfinite(bg_seed).all() or np.linalg.norm(bg_seed) > 0.5:
+        bg_seed = np.zeros(3)
+
+    # --- linear alignment seed (bias-corrected edges) -----------------
+    ncols = 3 * K + 3 + (1 if with_scale else 0)
+    A_rows, b_rows = [], []
+    for i in range(E):
+        Rt = Rs[i].T
+        dt = float(dts[i])
+        db_g = bg_seed - edge.bg0[i]
+        dV_c = dV_m[i] + edge.JVg[i] @ db_g
+        dP_c = dP_m[i] + edge.JPg[i] @ db_g
+        rowP = np.zeros((3, ncols))
+        rowP[:, 3 * i : 3 * i + 3] = -Rt * dt
+        rowP[:, 3 * K : 3 * K + 3] = -0.5 * dt * dt * Rt
+        dp_vis = Rt @ (ps[i + 1] - ps[i])
+        if with_scale:
+            rowP[:, 3 * K + 3] = dp_vis
+            b_rows.append(dP_c)
+        else:
+            b_rows.append(dP_c - dp_vis)
+        A_rows.append(rowP)
+        rowV = np.zeros((3, ncols))
+        rowV[:, 3 * i : 3 * i + 3] = -Rt
+        rowV[:, 3 * (i + 1) : 3 * (i + 1) + 3] = Rt
+        rowV[:, 3 * K : 3 * K + 3] = -dt * Rt
+        A_rows.append(rowV)
+        b_rows.append(dV_c)
+    x_lin, *_ = np.linalg.lstsq(np.concatenate(A_rows),
+                                np.concatenate(b_rows), rcond=None)
+    g_lin = x_lin[3 * K : 3 * K + 3]
+    s_seed = float(x_lin[3 * K + 3]) if with_scale else 1.0
+    v_metric = x_lin[: 3 * K].reshape(K, 3)
+    if (not np.isfinite(s_seed) or s_seed < 1e-3
+            or not np.isfinite(g_lin).all()
+            or np.linalg.norm(g_lin) < 1.0):
+        # degenerate geometry: fall back to the reference's dV-sum gravity
+        # heuristic (LocalMapping.cpp:391-407) and a unit scale
+        s_seed = 1.0
+        dV_sum = dV_m.sum(axis=0)
+        g_lin = -dV_sum / max(np.linalg.norm(dV_sum), 1e-9) * 9.8
+        v_metric = np.zeros((K, 3))
+    R_wg0 = _gravity_r_wg0(g_lin / np.linalg.norm(g_lin))
+    ls0 = np.log(s_seed)
+
+    # --- f64 LM refine over [v_vis(3K), bg(3), ba(3), theta(2), ls?] --
+    G_vec = np.array([0.0, 0.0, -9.8])
+    sp_g, sp_a = np.sqrt(prior_g), np.sqrt(prior_a)
+    dim = 3 * K + 8 + (1 if with_scale else 0)
+    bg0_e, ba0_e = edge.bg0, edge.ba0
+    JRg, JVg, JVa = edge.JRg, edge.JVg, edge.JVa
+    JPg, JPa = edge.JPg, edge.JPa
 
     def unpack(x):
-        v = kf.v + x[: 3 * K].reshape(K, 3)
+        v = x[: 3 * K].reshape(K, 3)
         bg = x[3 * K : 3 * K + 3]
         ba = x[3 * K + 3 : 3 * K + 6]
         theta = x[3 * K + 6 : 3 * K + 8]
-        ls = x[3 * K + 8] if with_scale else jnp.float32(0.0)
+        ls = x[3 * K + 8] if with_scale else 0.0
         return v, bg, ba, theta, ls
 
-    def residual_fn(x):
+    def residual(x, L_w):
         v, bg, ba, theta, ls = unpack(x)
-        R_wg = res.gravity_rotation(theta, R_wg0)
-        s1 = KfState(kf.R_wb[:-1], kf.t_wb[:-1], v[:-1],
-                     jnp.broadcast_to(bg, (E, 3)), jnp.broadcast_to(ba, (E, 3)))
-        s2 = KfState(kf.R_wb[1:], kf.t_wb[1:], v[1:],
-                     jnp.broadcast_to(bg, (E, 3)), jnp.broadcast_to(ba, (E, 3)))
-        r_ie = (res.inertial_gs_residual(s1, s2, edge, R_wg, ls)
-                * e_valid[:, None]).reshape(-1)
-        r_prior = jnp.concatenate([bg, ba]) * jnp.concatenate(
-            [jnp.full(3, prior_inv_g), jnp.full(3, prior_inv_a)]
-        )
-        r_pin = (x[: 3 * K].reshape(K, 3)
-                 * (1.0 - kf_valid.astype(jnp.float32))[:, None]).reshape(-1)
-        return jnp.concatenate([r_ie, r_prior, r_pin])
+        s = np.exp(ls)
+        R_wg = R_wg0 @ _np_exp_so3(np.array([theta[0], theta[1], 0.0]))
+        g = R_wg @ G_vec
+        out = np.empty(9 * E + 6)
+        for i in range(E):
+            db_g = bg - bg0_e[i]
+            db_a = ba - ba0_e[i]
+            dR_c = dR_m[i] @ _np_exp_so3(JRg[i] @ db_g)
+            dV_c = dV_m[i] + JVg[i] @ db_g + JVa[i] @ db_a
+            dP_c = dP_m[i] + JPg[i] @ db_g + JPa[i] @ db_a
+            Rt = Rs[i].T
+            dt = float(dts[i])
+            er = _np_log_so3(dR_c.T @ Rt @ Rs[i + 1])
+            ev = Rt @ (s * (v[i + 1] - v[i]) - g * dt) - dV_c
+            ep = Rt @ (s * (ps[i + 1] - ps[i] - v[i] * dt)
+                       - 0.5 * g * dt * dt) - dP_c
+            out[9 * i : 9 * i + 9] = L_w[i] @ np.concatenate([er, ev, ep])
+        out[9 * E : 9 * E + 3] = sp_g * bg
+        out[9 * E + 3 :] = sp_a * ba
+        return out
 
-    def cost_fn(x):
-        r = residual_fn(x)
-        return jnp.sum(r * r)
+    x = np.zeros(dim)
+    x[: 3 * K] = (v_metric / s_seed).reshape(-1)
+    x[3 * K : 3 * K + 3] = bg_seed
 
-    def body(carry, _):
-        x, lam, cost = carry
-        J = jax.jacfwd(residual_fn)(x)
-        r = residual_fn(x)
+    # fold ls0 into the parametrization by rebasing: s = exp(ls0 + delta)
+    def residual_rebased(x, L_w):
+        if with_scale:
+            x = x.copy()
+            x[3 * K + 8] += ls0
+        return residual(x, L_w)
+
+    # Empirical whitening floor: the IMU-only information treats visual KF
+    # pose noise (mm-level in metric once scaled) as hundreds of sigma —
+    # the whitened MAP optimum then trades true scale against a gravity
+    # tilt (measured: scale off 2.5x with a perfect-shape visual map).
+    # The linear-alignment residual IS the actual per-block error level,
+    # so scale each 3-row block of L_inv down to put the seed at ~1 sigma;
+    # clean data (whitened seed already <= 1 sigma) keeps the reference's
+    # pure-IMU weighting (alpha = 1).
+    w_seed = residual_rebased(x, L_inv)[: 9 * E].reshape(E, 9)
+    L_eff = L_inv.copy()
+    for b in range(3):
+        rms = float(np.sqrt((w_seed[:, 3 * b : 3 * b + 3] ** 2).mean()))
+        L_eff[:, 3 * b : 3 * b + 3, :] /= max(1.0, rms)
+
+    r = residual_rebased(x, L_eff)
+    cost0 = cost = float(r @ r)
+    lam = 1e-4
+    for _ in range(n_iters):
+        # forward-difference Jacobian (dim <= ~100, E <= ~60: microseconds)
+        J = np.empty((r.size, dim))
+        h = 1e-7
+        for j in range(dim):
+            xj = x.copy()
+            xj[j] += h
+            J[:, j] = (residual_rebased(xj, L_eff) - r) / h
         H = J.T @ J
-        g = J.T @ r
-        D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
-        step = -jnp.linalg.solve(H + lam * D, g)
-        x_new = x + step
-        new_cost = cost_fn(x_new)
-        improved = new_cost < cost
-        x = jnp.where(improved, x_new, x)
-        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-        cost = jnp.where(improved, new_cost, cost)
-        return (x, lam, cost), None
+        grad = J.T @ r
+        ok_step = False
+        for _try in range(8):
+            D = np.diag(np.maximum(np.diag(H), 1e-12))
+            try:
+                step = -np.linalg.solve(H + lam * D, grad)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            x_new = x + step
+            r_new = residual_rebased(x_new, L_eff)
+            c_new = float(r_new @ r_new)
+            if c_new < cost:
+                x, r, cost = x_new, r_new, c_new
+                lam = max(lam * 0.3, 1e-12)
+                ok_step = True
+                break
+            lam *= 10.0
+        if not ok_step or (np.linalg.norm(step) < 1e-12):
+            break
 
-    x0 = jnp.zeros(dim, jnp.float32)
-    cost0 = cost_fn(x0)
-    (x, _, cost), _ = jax.lax.scan(body, (x0, jnp.float32(1e-2), cost0),
-                                   None, length=n_iters)
     v, bg, ba, theta, ls = unpack(x)
-    return {
-        "v": v, "bg": bg, "ba": ba,
-        "R_wg": res.gravity_rotation(theta, R_wg0),
-        "scale": jnp.exp(ls),
-        "cost0": cost0, "cost": cost,
-    }
+    s = float(np.exp(ls + (ls0 if with_scale else 0.0)))
+    R_wg = R_wg0 @ _np_exp_so3(np.array([theta[0], theta[1], 0.0]))
+    return {"v": v, "bg": bg, "ba": ba, "R_wg": R_wg, "scale": s,
+            "cost0": cost0, "cost": cost}
 
 
 # ---------------------------------------------------------------------------

@@ -222,15 +222,31 @@ class ImageWorld:
         t_wc = R_wb @ t_bc + p_wb
         return R_wc.T, -R_wc.T @ t_wc
 
+    def _ray_grid(self, camera):
+        """Per-pixel camera-frame ray directions for ANY camera model,
+        cached per camera. `undistort_points` maps raw pixels to the ideal
+        domain (identity for fisheye, whose `back_project` handles the
+        KB4 inversion directly) — so the rendered image carries the
+        camera's true distortion, like a real sensor would."""
+        key = (type(camera).__name__, int(camera.width), int(camera.height),
+               float(camera.fx), float(camera.fy), float(camera.cx),
+               float(camera.cy), np.asarray(camera.dist).tobytes())
+        if getattr(self, "_ray_key", None) != key:
+            import jax.numpy as jnp
+
+            H, W = int(camera.height), int(camera.width)
+            u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                               np.arange(H, dtype=np.float32))
+            uv = jnp.asarray(np.stack([u, v], -1).reshape(-1, 2))
+            rays = np.asarray(camera.back_project(camera.undistort_points(uv)))
+            self._rays = rays.astype(np.float64).reshape(H, W, 3)
+            self._ray_key = key
+        return self._rays
+
     def render(self, t, camera, R_bc, t_bc, noise=1.0, rng=None):
         """Ray-cast the cylinder at time t -> [H, W] float32 image 0..255."""
         rng = rng or np.random.default_rng(int(t * 1e3) % (2**31))
-        H, W = int(camera.height), int(camera.width)
-        fx, fy = float(camera.fx), float(camera.fy)
-        cx, cy = float(camera.cx), float(camera.cy)
-        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
-                           np.arange(H, dtype=np.float64))
-        d_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        d_c = self._ray_grid(camera)
         R_cw, t_cw = self.pose_cw(t, R_bc, t_bc)
         R_wc = R_cw.T
         o_w = -R_wc @ t_cw  # camera center

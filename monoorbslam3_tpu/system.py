@@ -65,8 +65,7 @@ class System:
 
     # ------------------------------------------------------------------
 
-    def warmup(self, ba_iters=(8, 4), init_buckets=(16,),
-               init_variants=((60, True), (30, False))):
+    def warmup(self, ba_iters=(8, 4)):
         """Pre-compile every expensive jitted program at its runtime shape
         so a real-time stream never stalls on XLA compilation (the
         reference's C++ has no JIT cost to hide; on TPU a cold window-BA
@@ -84,9 +83,7 @@ class System:
             outs.append(self.extractor(
                 _np.zeros((self.extractor.height, self.extractor.width),
                           _np.float32))["desc"])
-        self.problems.warm_solvers(self.tracking.n_feat, ba_iters=ba_iters,
-                                   init_buckets=init_buckets,
-                                   init_variants=init_variants)
+        self.problems.warm_solvers(self.tracking.n_feat, ba_iters=ba_iters)
 
         n = self.store.n_feat
         xy = jnp.zeros((n, 2))

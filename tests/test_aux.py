@@ -165,10 +165,10 @@ def test_async_mapper_smoke():
 
 
 def test_system_warmup_compiles_solver_shapes():
-    """System.warmup must run clean and leave the mapper's BA entry and the
-    bucketed IMU-init solve already traced (no compile stall at first
-    use). Uses tiny iteration counts — only the traced shapes matter."""
-    import jax.numpy as jnp
+    """System.warmup must run clean and leave the mapper's BA entry already
+    traced (no compile stall at first use). Uses tiny iteration counts —
+    only the traced shapes matter. (The IMU-init solve runs on host in f64
+    and needs no warming.)"""
     import numpy as np
     from monoorbslam3_tpu.backend import problems as problems_mod
     from monoorbslam3_tpu.models.camera import Pinhole
@@ -183,7 +183,5 @@ def test_system_warmup_compiles_solver_shapes():
                             walk_gyro=1e-5, walk_acc=1e-4, freq=100.0)
     syst = System(cam, calib, config={
         "n_features": 32, "local_k": 4, "local_p": 32, "local_o": 64})
-    before = problems_mod._inertial_init_impl._cache_size()
-    syst.warmup(ba_iters=(2,), init_buckets=(16,), init_variants=((2, True),))
-    assert problems_mod._inertial_init_impl._cache_size() == before + 1
+    syst.warmup(ba_iters=(2,))
     assert problems_mod.schur_ba._cache_size() >= 1

@@ -401,3 +401,66 @@ def test_batch_edges_traces_once_across_edge_counts():
     # jax.jit wrappers of the same underlying function share the global
     # pjit cache, so earlier tests' System instances may pre-seed entries.)
     assert sizes[-1] == sizes[0], f"retraced: {sizes}"
+
+
+def test_inertial_init_recovers_scale_under_visual_noise():
+    """The host f64 inertial init must recover a large monocular scale,
+    gravity direction, and the gyro bias even when the visual KF positions
+    carry realistic (mm-level metric) noise. The pure-IMU whitening regime
+    treats that noise as hundreds of sigma, where an f32 on-device LM
+    measurably converged to a 2-3x-wrong scale (the 2026-08 wide-FOV
+    fisheye e2e failure); the linear-alignment seed + empirical whitening
+    floor must hold the true optimum (inertialOptimize, Optimize.cpp:93-205)."""
+    from monoorbslam3_tpu.backend.problems import Problems
+    from monoorbslam3_tpu.models.imu import ImuBuffer
+
+    s_true = 4.0
+    bg_true = np.array([0.004, -0.003, 0.002], np.float32)
+    ba_true = np.array([0.02, -0.01, 0.03], np.float32)
+    calib = ImuCalib.create(
+        R_bc=np.eye(3, dtype=np.float32), t_bc=np.zeros(3, np.float32),
+        noise_gyro=1.7e-4, noise_acc=2e-3, walk_gyro=2e-5, walk_acc=3e-3,
+        freq=200.0)
+    traj = Trajectory()
+    # visual frame: a fixed rotation of the world, scaled down by s_true
+    R_vw = np.asarray(lie.exp_so3(jnp.asarray([0.3, -0.2, 0.5], jnp.float32)))
+    rng = np.random.default_rng(3)
+    times = np.arange(0.0, 3.01, 0.25)
+    K = len(times)
+
+    class Store:
+        pass
+
+    st = Store()
+    st.kf_imu = {}
+    st.kf_bg = np.zeros((K, 3), np.float32)
+    st.kf_ba = np.zeros((K, 3), np.float32)
+    st.kf_v = {}
+    R_list, t_list = [], []
+    for i, t in enumerate(times):
+        R_list.append((R_vw @ traj.R_wb(t)).astype(np.float32))
+        noise = rng.normal(scale=2e-4, size=3)  # visual units ~ 0.8 mm metric
+        t_list.append(((R_vw @ traj.pos(t)) / s_true + noise).astype(np.float32))
+        if i < K - 1:
+            g, a, d = traj.imu_samples(t, times[i + 1], 200.0, bg=bg_true,
+                                       ba=ba_true, noise_gyro=1.7e-4,
+                                       noise_acc=2e-3, rng=rng)
+            buf = ImuBuffer(capacity=64)
+            for j in range(len(g)):
+                buf.add(g[j], a[j], d[j])
+            st.kf_imu[i] = buf
+    ids = list(range(K))
+    st.keyframe_ids = lambda: ids
+    st.keyframe_states = lambda ii: (
+        np.stack([R_list[k] for k in ii]), np.stack([t_list[k] for k in ii]),
+        np.zeros((len(ii), 3), np.float32), None, None)
+
+    pr = Problems(CAM, calib, local_k=16, local_p=64, local_o=128, imu_cap=64)
+    out = pr.inertial_optimize(st, prior_g=1e6, prior_a=1e12)
+    assert out is not None
+    assert abs(out["scale"] - s_true) / s_true < 0.15, out["scale"]
+    g_est = out["R_wg"] @ np.array([0.0, 0.0, -1.0])
+    g_want = R_vw @ np.array([0.0, 0.0, -1.0])
+    ang = np.degrees(np.arccos(np.clip(g_est @ g_want, -1, 1)))
+    assert ang < 3.0, f"gravity direction off by {ang:.2f} deg"
+    assert np.linalg.norm(out["bg"] - bg_true) < 2e-3, out["bg"]
