@@ -410,15 +410,26 @@ def _retract_problem(problem: BAProblem, dx_c, dx_l) -> BAProblem:
     return problem._replace(kf=kf, points=pts)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "huber_delta2"))
+@partial(jax.jit, static_argnames=("n_iters", "huber_delta2", "deferred"))
 @f32_matmuls
 def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
              n_iters: int = 10, huber_delta2: float = CHI2_MONO,
-             lambda0: float = 1e-4):
+             lambda0: float = 1e-4, deferred: bool = True):
     """Visual(-inertial) BA with landmark Schur elimination.
 
     Returns (kf [K] KfState, points [P, 3], info dict with final chi2 per
     obs + costs).
+
+    `deferred=True` (default) selects the zero-cost-pass LM: ONE damping
+    per iteration, with accept/reject decided by the NEXT iteration's
+    linearization cost (which is computed anyway) — a rejected step
+    reverts the state and re-linearizes at the kept optimum with a larger
+    lambda. This drops both the per-iteration candidate cost pass and the
+    second damped Cholesky (the two biggest latency items after the
+    linearize itself); a rejection costs one wasted linearize, which is
+    rare once the iterate is in the LM basin. Measured on v5e (bench
+    window, 2026-08-17): 602 vs 491 iters/s at the IDENTICAL converged
+    cost; `deferred=False` keeps the 2-candidate parallel-lambda variant.
     """
     K = problem.kf_dof.shape[0]
     P = problem.points.shape[0]
@@ -567,14 +578,61 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         cost = jnp.where(improved, best, cost_lin)
         return (kf, pts, lam, cost), (cost, cost_lin)
 
-    # no standalone initial-cost pass: iteration 1's linearize evaluates the
-    # cost at the initial state anyway (deferred-accept), so cost0 is the
-    # first element of the linearization-cost history
-    (kf_f, pts_f, _, cost), (cost_hist, cost_lin_hist) = jax.lax.scan(
-        body,
-        (problem.kf, problem.points, jnp.float32(lambda0), jnp.float32(jnp.inf)),
-        None, length=n_iters,
-    )
+    def body_deferred(carry, _):
+        kf, pts, kf_b, pts_b, cost_b, lam = carry
+        pb = problem._replace(kf=kf, points=pts)
+        Sm, bm, W_p, Hll_inv, b_l, cost_lin, _ = linearize_assemble(pb)
+        # NaN-robust: a diverged tentative step produces cost_lin = NaN,
+        # which must REJECT (plain `cost_lin > cost_b` is False on NaN and
+        # would accept the poisoned state); strict <= also lets a reverted
+        # state (re-costing exactly cost_b) proceed instead of looping
+        worse = jnp.logical_not(cost_lin <= cost_b)
+        # adapt lambda from the outcome of the PREVIOUS tentative step
+        lam = jnp.where(worse, jnp.minimum(lam * 16.0, 1e6),
+                        jnp.maximum(lam * 0.33, 1e-9))
+        # on regression: revert to the kept optimum and skip this step (the
+        # linearization belongs to the rejected state); next iteration
+        # re-linearizes the reverted state with the larger lambda
+        kf_keep = jax.tree_util.tree_map(
+            lambda b_, c_: jnp.where(worse, b_, c_), kf_b, kf)
+        pts_keep = jnp.where(worse, pts_b, pts)
+        cost_keep = jnp.where(worse, cost_b, cost_lin)
+
+        dxc = solve_reduced(Sm, bm, lam)
+        acc = jnp.einsum("pkv,k->pv", W_p, dxc[:, :6].reshape(K * 6))
+        dxl = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
+        kf_new = res.retract_kf(kf, dxc * problem.kf_dof)
+        pts_new = pts + dxl * problem.pt_active[:, None]
+        kf_next = jax.tree_util.tree_map(
+            lambda b_, n_: jnp.where(worse, b_, n_), kf_b, kf_new)
+        pts_next = jnp.where(worse, pts_b, pts_new)
+        return ((kf_next, pts_next, kf_keep, pts_keep, cost_keep, lam),
+                (cost_keep, cost_lin))
+
+    if deferred:
+        init = (problem.kf, problem.points, problem.kf, problem.points,
+                jnp.float32(jnp.inf), jnp.float32(lambda0))
+        (kf_t, pts_t, kf_b, pts_b, cost_b, _), (cost_hist, cost_lin_hist) = \
+            jax.lax.scan(body_deferred, init, None, length=n_iters)
+        # the last tentative step was never evaluated: cost it once and
+        # keep the better state
+        cost_t = _total_cost(problem._replace(kf=kf_t, points=pts_t),
+                             camera, R_cb, t_cb, huber_delta2)
+        worse = jnp.logical_not(cost_t <= cost_b)  # NaN-robust
+        kf_f = jax.tree_util.tree_map(
+            lambda b_, t_: jnp.where(worse, b_, t_), kf_b, kf_t)
+        pts_f = jnp.where(worse, pts_b, pts_t)
+        cost = jnp.minimum(cost_t, cost_b)
+    else:
+        # no standalone initial-cost pass: iteration 1's linearize evaluates
+        # the cost at the initial state anyway (deferred-accept), so cost0 is
+        # the first element of the linearization-cost history
+        (kf_f, pts_f, _, cost), (cost_hist, cost_lin_hist) = jax.lax.scan(
+            body,
+            (problem.kf, problem.points, jnp.float32(lambda0),
+             jnp.float32(jnp.inf)),
+            None, length=n_iters,
+        )
     pb = problem._replace(kf=kf_f, points=pts_f)
 
     # final per-obs chi2 for inlier classification

@@ -417,12 +417,28 @@ class LocalMapping:
         return True
 
     def refine_gravity(self):
+        """gravityRefinement (.cpp:484-504), extended: the reference
+        refines gravity DIRECTION only, but with the cheap host-f64 init
+        solve we can re-estimate residual scale too — short init windows
+        leave a measurable scale error (wide-FOV fisheye e2e: 1.26x) that
+        direction-only refinement cannot touch, and the full VI-BA moves
+        the whole map too slowly to repair it."""
         store = self.store
-        out = self.problems.gravity_optimize(store)
+        out = self.problems.inertial_optimize(store, prior_g=1e8,
+                                              prior_a=1e12, with_scale=True)
         if out is not None:
-            store.apply_scale_rotation(out["R_wg"].T, 1.0,
+            scale = out["scale"]
+            # apply the re-estimated scale only when it clearly deviates
+            # from metric: the estimate carries its own few-percent noise,
+            # so "correcting" an already-metric map would only inject it
+            # (measured: 1.05 -> 1.10 scale error on the circle world)
+            if not (0.5 < scale < 2.0) or abs(scale - 1.0) < 0.08:
+                scale = 1.0  # direction-only refinement (the reference's)
+            store.apply_scale_rotation(out["R_wg"].T, scale,
                                        t_bc=np.asarray(self.calib.t_bc))
             self.tracking.update_after_gauge_change()
+            if scale != 1.0:
+                self.problems.full_inertial_optimize(store)
         self.imu_state = IMU_FINISHED
 
     # ------------------------------------------------------------------

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..backend import residuals as res
 from ..utils.precision import f32_matmuls
 from ..backend.solver import (
-    BAProblem, CHI2_MONO, LAM_GRID, _gather_kf, _inertial_linearize,
+    BAProblem, CHI2_MONO, _gather_kf, _inertial_linearize,
     _prior_linearize, _scatter_edge_blocks, _vis_linearize, _vis_residuals,
     _walk_linearize, inv3x3,
 )
@@ -220,42 +220,48 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
             return (jax.scipy.linalg.cho_solve((L, True), bm / d)
                     / d).reshape(K, 15)
 
-        # parallel-lambda LM (mirrors solver.schur_ba): LAM_GRID dampings
-        # solved on the replicated reduced system, candidates costed in one
-        # distributed batched pass, argmin accepted if it improves
+        # deferred-accept single-lambda LM (mirrors solver.schur_ba
+        # deferred=True): accept/reject rides the NEXT iteration's psum'd
+        # linearization cost, so the per-iteration candidate-cost psum and
+        # the second damped Cholesky disappear — one collective per
+        # iteration (the S/b reduction) instead of two
         def body(carry, _):
-            kf, pts, lam, _cost = carry
-            Sm, bm, W_p, Hll_inv, b_l, cost_lin, vmask = linearize_assemble(kf, pts)
+            kf, pts, kf_b, pts_b, cost_b, lam = carry
+            Sm, bm, W_p, Hll_inv, b_l, cost_lin, _ = linearize_assemble(kf, pts)
+            # NaN-robust reject (see solver.schur_ba); psum'd -> identical
+            # on all shards
+            worse = jnp.logical_not(cost_lin <= cost_b)
+            lam = jnp.where(worse, jnp.minimum(lam * 16.0, 1e6),
+                            jnp.maximum(lam * 0.33, 1e-9))
+            kf_keep = jax.tree_util.tree_map(
+                lambda b_, c_: jnp.where(worse, b_, c_), kf_b, kf)
+            pts_keep = jnp.where(worse, pts_b, pts)
+            cost_keep = jnp.where(worse, cost_b, cost_lin)
 
-            lams = lam * LAM_GRID
-            G = LAM_GRID.shape[0]
-            dxc4 = jax.vmap(solve_reduced, in_axes=(None, None, 0))(Sm, bm, lams)
-            acc4 = jnp.einsum("pkv,ck->cpv", W_p,
-                              dxc4[:, :, :6].reshape(G, K * 6))
-            dxl4 = jnp.einsum("pvw,cpw->cpv", Hll_inv, b_l[None] - acc4)
-
-            kf4 = jax.vmap(lambda dc: res.retract_kf(kf, dc * pb0.kf_dof))(dxc4)
-            pts4 = pts[None] + dxl4 * pb0.pt_active[None, :, None]
-            part4 = jax.vmap(
-                lambda k_, p_: total_cost_partial(k_, p_, vmask))(kf4, pts4)
-            cost4 = jax.lax.psum(part4, axis)
-
-            i = jnp.argmin(cost4)
-            best = cost4[i]
-            improved = best < cost_lin
-            kf = jax.tree_util.tree_map(
-                lambda c, o: jnp.where(improved, c[i], o), kf4, kf)
-            pts = jnp.where(improved, pts4[i], pts)
-            lam = jnp.where(improved, jnp.clip(lams[i], 1e-9, 1e4),
-                            jnp.minimum(lam * 25.0, 1e8))
-            cost = jnp.where(improved, best, cost_lin)
-            return (kf, pts, lam, cost), cost
+            dxc = solve_reduced(Sm, bm, lam)
+            acc = jnp.einsum("pkv,k->pv", W_p, dxc[:, :6].reshape(K * 6))
+            dxl = jnp.einsum("pvw,pw->pv", Hll_inv, b_l - acc)
+            kf_new = res.retract_kf(kf, dxc * pb0.kf_dof)
+            pts_new = pts + dxl * pb0.pt_active[:, None]
+            kf_next = jax.tree_util.tree_map(
+                lambda b_, n_: jnp.where(worse, b_, n_), kf_b, kf_new)
+            pts_next = jnp.where(worse, pts_b, pts_new)
+            return ((kf_next, pts_next, kf_keep, pts_keep, cost_keep, lam),
+                    cost_keep)
 
         cost0 = jax.lax.psum(total_cost_partial(pb0.kf, pb0.points), axis)
-        (kf_f, pts_f, _, cost), hist = jax.lax.scan(
-            body, (pb0.kf, pb0.points, jnp.float32(lambda0), cost0),
-            None, length=n_iters,
-        )
+        init = (pb0.kf, pb0.points, pb0.kf, pb0.points, cost0,
+                jnp.float32(lambda0))
+        (kf_t, pts_t, kf_b, pts_b, cost_b, _), hist = jax.lax.scan(
+            body, init, None, length=n_iters)
+        # the last tentative step was never evaluated: cost it once and
+        # keep the better state
+        cost_t = jax.lax.psum(total_cost_partial(kf_t, pts_t), axis)
+        worse_t = jnp.logical_not(cost_t <= cost_b)  # NaN-robust
+        kf_f = jax.tree_util.tree_map(
+            lambda b_, t_: jnp.where(worse_t, b_, t_), kf_b, kf_t)
+        pts_f = jnp.where(worse_t, pts_b, pts_t)
+        cost = jnp.minimum(cost_t, cost_b)
         return kf_f, pts_f, cost0, cost, hist
 
     kf, pts, cost0, cost, hist = shard_map(
