@@ -18,8 +18,13 @@ import time
 
 import numpy as np
 
+from .. import native
+
 
 def _load_gray(path: str) -> np.ndarray:
+    img = native.load_gray(path)  # C++ decoder (zlib PNG / PNM)
+    if img is not None:
+        return img
     try:
         import cv2
 
@@ -47,6 +52,9 @@ def load_times(path: str) -> np.ndarray:
 def load_imu(path: str) -> np.ndarray:
     """imu.txt loader (Data.h:29-49): rows (t, gx, gy, gz, ax, ay, az),
     strictly increasing timestamps."""
+    rows_native = native.parse_imu(path)
+    if rows_native is not None:
+        return rows_native
     rows = []
     last_t = -np.inf
     with open(path) as f:
@@ -75,19 +83,23 @@ class ImageFolderDataset:
         return len(self.times)
 
     def frames(self):
-        """Yields (t, image [H,W] f32, imu_rows [n,7] in (prev_t, t])."""
+        """Yields (t, image [H,W] f32, imu_rows [n,7] in (prev_t, t]).
+
+        Images stream through the native prefetcher (C++ worker threads
+        decode ahead, GIL-free) so decode latency overlaps the tracking
+        step; the reference decodes synchronously on the tracking thread
+        (eurocDemo.cpp:58)."""
+        paths = [os.path.join(self.image_dir, self.image_pattern % i)
+                 for i in range(len(self.times))]
+        images = native.ImagePrefetcher(paths, _load_gray)
         imu_idx = 0
-        prev_t = -np.inf
-        for i, t in enumerate(self.times):
-            path = os.path.join(self.image_dir, self.image_pattern % i)
-            img = _load_gray(path)
+        for t, img in zip(self.times, images):
             j = imu_idx
             while j < len(self.imu) and self.imu[j, 0] <= t:
                 j += 1
             rows = self.imu[imu_idx:j] if len(self.imu) else None
             imu_idx = j
             yield t, img, (rows if rows is None or len(rows) else None)
-            prev_t = t
 
 
 def euroc_dataset(root: str) -> ImageFolderDataset:

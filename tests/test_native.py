@@ -36,8 +36,7 @@ def test_covis_counts_matches_fallback(tables, monkeypatch):
     t = tables
     got = native.covis_counts(t["feat_pt"], t["pt_obs_kf"], t["pt_n_obs"],
                               t["max_kf"], exclude_kf=3)
-    monkeypatch.setattr(native, "_ext", None)
-    monkeypatch.setattr(native, "_tried", True)
+    monkeypatch.setitem(native._exts, "map_ops", None)
     ref = native.covis_counts(t["feat_pt"], t["pt_obs_kf"], t["pt_n_obs"],
                               t["max_kf"], exclude_kf=3)
     np.testing.assert_array_equal(got, ref)
@@ -48,8 +47,7 @@ def test_redundancy_matches_fallback(tables, monkeypatch):
     got = native.redundancy_count(t["feat_pt"], t["feat_level"],
                                   t["pt_obs_kf"], t["pt_obs_feat"],
                                   t["pt_n_obs"], t["kf_feat_level"], 3)
-    monkeypatch.setattr(native, "_ext", None)
-    monkeypatch.setattr(native, "_tried", True)
+    monkeypatch.setitem(native._exts, "map_ops", None)
     ref = native.redundancy_count(t["feat_pt"], t["feat_level"],
                                   t["pt_obs_kf"], t["pt_obs_feat"],
                                   t["pt_n_obs"], t["kf_feat_level"], 3)
