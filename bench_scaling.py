@@ -69,10 +69,58 @@ def bench_mesh(n_dev: int, frames_per_dev: int = 4, h: int = 384, w: int = 512,
     return B / best  # frames per second
 
 
+def bench_sharded_ba(n_dev: int, n_iters: int = 6, reps: int = 3):
+    """Strong scaling of the distributed Schur BA (point-sharded linearize +
+    psum'd reduction, parallel/sharded_ba.py) on a large-map window: the
+    'context parallelism' analog of SURVEY.md §5 — map size is the sequence
+    dimension of this workload."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bench import build_problem
+    from monoorbslam3_tpu.parallel.sharded_ba import (
+        shard_problem_by_point, sharded_schur_ba)
+
+    problem, cam = build_problem(n_kf=32, n_fixed=8, n_pts=16384,
+                                 obs_per_kf=768)
+    R_cb = jnp.eye(3)
+    t_cb = jnp.zeros(3)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+    sharded, dropped = shard_problem_by_point(problem, n_dev)
+    assert dropped == 0
+
+    def run():
+        kf, pts, info = sharded_schur_ba(sharded, cam, R_cb, t_cb, mesh,
+                                         n_iters=n_iters)
+        jax.block_until_ready((kf, pts))
+        return info
+
+    info = run()  # compile
+    assert float(info["cost"]) < float(info["cost0"]), "BA must improve"
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return n_iters / best  # iters/s
+
+
 def main():
     n_cores = os.cpu_count() or 4
     sizes = [int(a) for a in sys.argv[1:]] or [
         n for n in (1, 2, 4, 8) if n <= n_cores]
+    ba_base = None
+    for n in sizes:
+        ips = bench_sharded_ba(n)
+        if ba_base is None:
+            ba_base = ips / n
+        print(json.dumps({
+            "metric": "sharded_ba_iters_per_s", "n_devices": n,
+            "value": round(ips, 2), "unit": "iters/s",
+            "window": "32 KFs, 16384 pts, 24576 obs, VI edges",
+            "efficiency": round(ips / (n * ba_base), 3),
+        }))
     fps = {}
     base = None
     for n in sizes:

@@ -293,30 +293,49 @@ def _inertial_linearize(problem: BAProblem):
     E = problem.ie_i.shape[0]
 
     dbg = s1.bg - e.bg0
-    dR, dV, dP = e.corrected(s1.bg, s1.ba)
+    dba = s1.ba - e.ba0
     Rb1w = jnp.swapaxes(s1.R_wb, -1, -2)
     dt = e.dt[..., None]
-    eR = jnp.swapaxes(dR, -1, -2) @ Rb1w @ s2.R_wb
-    er = lie.log_so3(eR)
+
+    # LATENCY NOTE: at SLAM edge counts (E ~ 32) every dot_general costs
+    # ~10-40 us of dispatch regardless of FLOPs, so the ~15 small per-edge
+    # matmuls of the straightforward form are stacked into a handful of
+    # batched ones, grouped by dependency level.
+
+    # level 0 — all matvecs available directly from the inputs, one dot:
+    # bias-correction terms (Imu.cpp:182-204) + the frame-1 rotations of
+    # the velocity/position mismatches
     dv_w = s2.v - s1.v - res.G_I * dt
-    ev_arg = jnp.einsum("eij,ej->ei", Rb1w, dv_w)
     dp_w = s2.t_wb - s1.t_wb - s1.v * dt - 0.5 * res.G_I * dt * dt
-    ep_arg = jnp.einsum("eij,ej->ei", Rb1w, dp_w)
+    mats = jnp.stack([e.JRg, e.JVg, e.JVa, e.JPg, e.JPa, Rb1w, Rb1w], 1)
+    vecs = jnp.stack([dbg, dbg, dba, dbg, dba, dv_w, dp_w], 1)
+    mv = jnp.einsum("ecij,ecj->eci", mats, vecs)
+    jrg_dbg = mv[:, 0]
+    dV = e.dV + mv[:, 1] + mv[:, 2]
+    dP = e.dP + mv[:, 3] + mv[:, 4]
+    ev_arg, ep_arg = mv[:, 5], mv[:, 6]
+
+    # level 0/1 rotation chain: eR = exp(JRg dbg)^T (dR^T R1^T R2)
+    M = Rb1w @ s2.R_wb  # R1^T R2; M^T = R21, reused in J1/J2 blocks
+    dRtM = jnp.swapaxes(e.dR, -1, -2) @ M
+    eR = jnp.swapaxes(lie.exp_so3(jrg_dbg), -1, -2) @ dRtM
+    er = lie.log_so3(eR)
     ev = ev_arg - dV
     ep = ep_arg - dP
-    r0 = jnp.einsum("eij,ej->ei", e.L_inv, jnp.concatenate([er, ev, ep], -1))
 
     invJr = lie.inv_right_jacobian_so3(er)
-    # d er / d dbg1: -invJr eR^T Jr(JRg dbg) JRg
-    der_dbg = -invJr @ jnp.swapaxes(eR, -1, -2) @ lie.right_jacobian_so3(
-        jnp.einsum("eij,ej->ei", e.JRg, dbg)) @ e.JRg
+    # d er / d dbg1: -invJr eR^T Jr(JRg dbg) JRg — built as a chain whose
+    # last product batches with the -invJr R21 pose block below
+    P = lie.right_jacobian_so3(jrg_dbg) @ e.JRg
+    Q = jnp.swapaxes(eR, -1, -2) @ P
+    ij2 = -invJr[:, None] @ jnp.stack([Q, jnp.swapaxes(M, -1, -2)], 1)
+    der_dbg, mijR21 = ij2[:, 0], ij2[:, 1]
 
     Z3 = jnp.zeros((E, 3, 3), jnp.float32)
-    R21 = jnp.swapaxes(s2.R_wb, -1, -2) @ s1.R_wb
 
     # unwhitened block rows [er; ev; ep] x cols [phi, dt, dv, dbg, dba]
     J1 = jnp.concatenate([
-        jnp.concatenate([-invJr @ R21, Z3, Z3, der_dbg, Z3], -1),
+        jnp.concatenate([mijR21, Z3, Z3, der_dbg, Z3], -1),
         jnp.concatenate([lie.hat(ev_arg), Z3, -Rb1w, -e.JVg, -e.JVa], -1),
         jnp.concatenate([lie.hat(ep_arg), -jnp.broadcast_to(
             jnp.eye(3, dtype=jnp.float32), (E, 3, 3)), -Rb1w * dt[..., None],
@@ -325,10 +344,12 @@ def _inertial_linearize(problem: BAProblem):
     J2 = jnp.concatenate([
         jnp.concatenate([invJr, Z3, Z3, Z3, Z3], -1),
         jnp.concatenate([Z3, Z3, Rb1w, Z3, Z3], -1),
-        jnp.concatenate([Z3, Rb1w @ s2.R_wb, Z3, Z3, Z3], -1),
+        jnp.concatenate([Z3, M, Z3, Z3, Z3], -1),
     ], -2)
-    J1 = e.L_inv @ J1
-    J2 = e.L_inv @ J2
+    # whiten residual + both Jacobians in ONE dot: [E,9,9] @ [E,9,31]
+    r9 = jnp.concatenate([er, ev, ep], -1)
+    W = e.L_inv @ jnp.concatenate([r9[..., None], J1, J2], -1)
+    r0, J1, J2 = W[..., 0], W[..., 1:16], W[..., 16:31]
 
     w = problem.ie_valid.astype(jnp.float32)
     cost = jnp.sum(w * jnp.sum(r0 * r0, axis=-1))

@@ -247,13 +247,22 @@ def sharded_schur_ba(problem: BAProblem, camera, R_cb, t_cb, mesh: Mesh,
                 lambda b_, n_: jnp.where(worse, b_, n_), kf_b, kf_new)
             pts_next = jnp.where(worse, pts_b, pts_new)
             return ((kf_next, pts_next, kf_keep, pts_keep, cost_keep, lam),
-                    cost_keep)
+                    (cost_keep, cost_lin))
 
-        cost0 = jax.lax.psum(total_cost_partial(pb0.kf, pb0.points), axis)
-        init = (pb0.kf, pb0.points, pb0.kf, pb0.points, cost0,
-                jnp.float32(lambda0))
-        (kf_t, pts_t, kf_b, pts_b, cost_b, _), hist = jax.lax.scan(
-            body, init, None, length=n_iters)
+        # NO standalone initial-cost pass: the best-cost carry starts at
+        # +inf and iteration 1's linearize prices the initial state. This is
+        # load-bearing beyond latency: the accept test must compare costs
+        # from the SAME code path. A cost0 computed by the (differently
+        # reduced) total_cost pass can sit an epsilon BELOW every linearize
+        # cost at large obs counts, which rejects iteration 1, reverts to
+        # the initial state, and then rejects FOREVER (cost_lin at the
+        # reverted state keeps losing to the cross-path cost0) — measured
+        # at O >= 12k: the solver returned cost == cost0 untouched.
+        init = (pb0.kf, pb0.points, pb0.kf, pb0.points,
+                jnp.float32(jnp.inf), jnp.float32(lambda0))
+        (kf_t, pts_t, kf_b, pts_b, cost_b, _), (hist, hist_lin) = \
+            jax.lax.scan(body, init, None, length=n_iters)
+        cost0 = hist_lin[0]
         # the last tentative step was never evaluated: cost it once and
         # keep the better state
         cost_t = jax.lax.psum(total_cost_partial(kf_t, pts_t), axis)
