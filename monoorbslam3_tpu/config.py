@@ -104,5 +104,10 @@ def build_system(settings_path: str, use_extractor: bool = True,
             min_th_fast=float(orb.get("MinThFAST", 7)),
         )
     cfg = {"n_features": n_feat, "fps": float(settings["Camera"].get("fps", 20))}
+    # optional `System:` node: tracker/mapper policy knobs (init gates, KF
+    # policy, local-window capacities, ...) configurable per dataset profile
+    # — the yaml-driven analog of the reference's hardcoded Tracking.cpp
+    # thresholds; caller overrides still win
+    cfg.update(settings.get("System") or {})
     cfg.update(config_overrides or {})
     return System(camera, calib, config=cfg, extractor=extractor)
