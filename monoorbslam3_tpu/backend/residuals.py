@@ -28,12 +28,17 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..models.imu import GRAVITY_VALUE
 from ..utils import lie
 
-G_I = jnp.array([0.0, 0.0, -GRAVITY_VALUE], jnp.float32)
+# numpy, not jnp: module-level DEVICE constants captured by jitted
+# functions become hoisted runtime const buffers whose cache entries can
+# go stale in jax 0.9 ("Execution supplied N buffers but compiled
+# program expected M"); numpy constants are baked into the HLO instead
+G_I = np.array([0.0, 0.0, -GRAVITY_VALUE], np.float32)
 
 
 class KfState(NamedTuple):

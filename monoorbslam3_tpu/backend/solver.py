@@ -25,6 +25,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..utils import lie
@@ -41,7 +42,8 @@ CHI2_MONO = 5.991  # 2-DoF 95% gate (Optimize.cpp poseOptimize chi2)
 # carried-lambda adaptation makes wider grids redundant: 2-, 3- and 4-point
 # grids converge to identical cost on the bench window (measured
 # 2026-08-17, cost 1118.6 after 10 iters for all of them).
-LAM_GRID = jnp.array([0.3, 3.0], jnp.float32)
+# numpy, not jnp — device constants hoist as stale-able const buffers (jax 0.9)
+LAM_GRID = np.array([0.3, 3.0], np.float32)
 
 
 # ---------------------------------------------------------------------------

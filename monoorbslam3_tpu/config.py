@@ -81,8 +81,27 @@ def build_imu_calib(settings: dict) -> ImuCalib:
     )
 
 
+def build_vocabulary(settings: dict, vocab_path: str | None = None):
+    """Optional vocabulary from the `Vocabulary` settings node (a path or
+    `{File: path, GroupLevel: l}`) or an explicit path argument — the
+    ORBVocabulary::createORBVocabulary analog (System.cpp:39). Returns None
+    when unset: dense matching needs no vocabulary on TPU."""
+    from .ops.vocab import load_dbow2_text
+
+    node = settings.get("Vocabulary")
+    group_level = 1
+    if isinstance(node, dict):
+        group_level = int(node.get("GroupLevel", 1))
+        node = node.get("File")
+    path = vocab_path or node
+    if not path:
+        return None
+    return load_dbow2_text(str(path), group_level=group_level)
+
+
 def build_system(settings_path: str, use_extractor: bool = True,
-                 config_overrides: dict | None = None):
+                 config_overrides: dict | None = None,
+                 vocab_path: str | None = None):
     """System factory from a settings file (the System constructor analog,
     System.cpp:19-68)."""
     from .ops.orb import OrbExtractor
@@ -110,4 +129,5 @@ def build_system(settings_path: str, use_extractor: bool = True,
     # thresholds; caller overrides still win
     cfg.update(settings.get("System") or {})
     cfg.update(config_overrides or {})
-    return System(camera, calib, config=cfg, extractor=extractor)
+    vocab = build_vocabulary(settings, vocab_path)
+    return System(camera, calib, config=cfg, extractor=extractor, vocab=vocab)

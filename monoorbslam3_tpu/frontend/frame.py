@@ -31,6 +31,9 @@ class Frame:
     desc: np.ndarray  # [N, 8] uint32
     valid: np.ndarray  # [N]
     sigma2: np.ndarray  # [N] measurement variance scale
+    # vocabulary node id per feature (-1 = no BoW info; Frame::computeBow
+    # analog, Frame.cpp:168-178 — filled by System when a vocabulary is set)
+    group: np.ndarray | None = None
     # body state (world frame)
     state: KfState | None = None
     # map point id per feature (-1 = none)
@@ -78,4 +81,5 @@ def make_frame(time: float, feats: dict) -> Frame:
         time=time,
         xy=feats["xy"], level=feats["level"], angle=feats["angle"],
         desc=feats["desc"], valid=feats["valid"], sigma2=feats["sigma2"],
+        group=feats.get("group"),
     )

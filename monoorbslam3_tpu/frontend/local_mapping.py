@@ -42,8 +42,11 @@ def _triangulate_pair_kernel(
     xy1, desc1, valid1, sigma2_1,
     xy2, desc2, valid2, sigma2_2,
     camera, R_cw1, t_cw1, R_cw2, t_cw2,
+    group1=None, group2=None,
 ):
-    """Match unmatched features of two KFs with an epipolar gate, then
+    """Match unmatched features of two KFs with an epipolar gate (plus the
+    shared-vocabulary-node gate of SearchForTriangulation,
+    ORBMatcher.cpp:417-522, when groups are provided), then
     triangulate and apply the acceptance gates (LocalMapping.cpp:146-259).
 
     Camera-generic: features are back-projected to normalized rays, the
@@ -71,6 +74,8 @@ def _triangulate_pair_kernel(
     epi_ok = d2 < 3.84 * sigma2_2[None, :]
 
     pair_mask = valid1[:, None] & valid2[None, :] & epi_ok
+    if group1 is not None and group2 is not None:
+        pair_mask &= matching.node_gate(group1, group2)
     idx, _ = matching.masked_nn_match(
         matching.hamming_matrix(desc1, desc2), pair_mask,
         max_dist=matching.TH_LOW, ratio=0.9, mutual=True,
@@ -286,6 +291,8 @@ class LocalMapping:
                 jnp.asarray(t_cw1.astype(np.float32)),
                 jnp.asarray(R_cw2.astype(np.float32)),
                 jnp.asarray(t_cw2.astype(np.float32)),
+                jnp.asarray(store.kf_feat_group[k]),
+                jnp.asarray(store.kf_feat_group[j]),
             )
             idx = np.asarray(idx)
             X = np.asarray(X)

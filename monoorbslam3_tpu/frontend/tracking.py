@@ -415,14 +415,24 @@ class Tracking:
 
     def _match_against_ref_kf(self, frame: Frame) -> bool:
         """trackReferenceKeyFrame (Tracking.cpp:255-282): descriptor match
-        vs the reference KF's mapped features (dense analog of SearchByBow)."""
+        vs the reference KF's mapped features. With a vocabulary configured
+        this is SearchByBow (ORBMatcher.cpp:118-201): candidates are gated
+        to shared vocabulary nodes; without one it degrades to the dense
+        full-candidate match (group = -1 passes everything)."""
         k = self.ref_kf
         if k < 0:
             return False
         feat_pt = self.store.kf_feat_pt[k]
         xyz, desc, valid, ids = self._candidate_points(feat_pt)
-        # no spatial gate — pure descriptor matching with stricter ratio
-        mask = jnp.asarray(valid)[:, None] & jnp.asarray(frame.valid)[None, :]
+        # candidate groups, aligned with _candidate_points' feature order
+        groups_kf = np.full(self.n_feat, -1, np.int32)
+        feat_sel = np.nonzero(feat_pt >= 0)[0][: self.n_feat]
+        groups_kf[: len(feat_sel)] = self.store.kf_feat_group[k, feat_sel]
+        groups_f = (frame.group if frame.group is not None
+                    else np.full(self.n_feat, -1, np.int32))
+        # no spatial gate — descriptor matching with stricter ratio, node-gated
+        mask = (jnp.asarray(valid)[:, None] & jnp.asarray(frame.valid)[None, :]
+                & matching.node_gate(jnp.asarray(groups_kf), jnp.asarray(groups_f)))
         idx, _ = matching.match_descriptors(
             jnp.asarray(desc), jnp.asarray(frame.desc), mask,
             max_dist=matching.TH_LOW, ratio=0.75, use_rotation=False,
@@ -663,4 +673,5 @@ def _feat_dict(frame: Frame) -> dict:
     return {
         "xy": frame.xy, "level": frame.level, "angle": frame.angle,
         "desc": frame.desc, "valid": frame.valid, "sigma2": frame.sigma2,
+        "group": frame.group,
     }

@@ -26,7 +26,8 @@ import numpy as np
 from ..utils import lie
 
 GRAVITY_VALUE = 9.80  # reference: Imu.h:15
-GRAVITY_W = jnp.array([0.0, 0.0, -GRAVITY_VALUE], jnp.float32)
+# numpy, not jnp — device constants hoist as stale-able const buffers (jax 0.9)
+GRAVITY_W = np.array([0.0, 0.0, -GRAVITY_VALUE], np.float32)
 
 
 class ImuCalib(NamedTuple):

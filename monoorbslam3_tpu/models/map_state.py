@@ -46,6 +46,9 @@ class MapStore:
         self.kf_feat_valid = np.zeros((max_kf, n_feat), bool)
         self.kf_feat_sigma2 = np.ones((max_kf, n_feat), np.float32)
         self.kf_feat_pt = np.full((max_kf, n_feat), -1, np.int32)
+        # vocabulary node id per feature (-1 = no BoW info; the KeyFrame
+        # FeatureVector analog used to gate SearchByBow/SearchForTriangulation)
+        self.kf_feat_group = np.full((max_kf, n_feat), -1, np.int32)
 
         # per-KF velocity/bias prior information (diag inv-sigma), filled
         # from preintegration covariance at KF creation (KeyFrame.cpp:86-98)
@@ -114,6 +117,8 @@ class MapStore:
         self.kf_feat_sigma2[k, :nf] = features.get(
             "sigma2", np.ones(nf, np.float32)
         )[:nf]
+        if features.get("group") is not None:
+            self.kf_feat_group[k, :nf] = features["group"][:nf]
         self.kf_feat_pt[k] = -1
         if prior_inv_sigma is not None:
             self.kf_prior_inv_sigma[k] = prior_inv_sigma

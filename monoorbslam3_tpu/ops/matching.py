@@ -29,7 +29,7 @@ import jax.numpy as jnp
 TH_LOW = 50
 TH_HIGH = 100
 HISTO_LENGTH = 30
-BIG = jnp.int32(1 << 20)
+BIG = 1 << 20  # python int: inlined as a literal, never a hoisted const buffer
 
 
 def _unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
@@ -150,6 +150,16 @@ def node_mask(words_a, words_b, valid_a, valid_b):
     """Vocabulary-node equality mask — the dense analog of iterating shared
     FeatureVector nodes in SearchByBow (ORBMatcher.cpp:131-185)."""
     return (words_a[:, None] == words_b[None, :]) & valid_a[:, None] & valid_b[None, :] & (words_a[:, None] >= 0)
+
+
+def node_gate(groups_a, groups_b):
+    """Soft vocabulary-node gate: same-node pairs pass; a side with no
+    vocabulary information (group < 0, the sentinel used when BoW is
+    disabled or for pre-vocabulary keyframes) passes everything. One trace
+    serves both the BoW-gated and the dense matching modes."""
+    ga = groups_a[:, None]
+    gb = groups_b[None, :]
+    return (ga == gb) | (ga < 0) | (gb < 0)
 
 
 @partial(jax.jit, static_argnames=("mutual", "use_ratio", "use_rotation"))

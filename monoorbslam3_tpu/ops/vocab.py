@@ -190,7 +190,7 @@ def load_dbow2_text(path: str, group_level: int = 1) -> Vocabulary:
             level_offset.append(off)
             off += k**l
         # DBoW2 text lists nodes in creation order with parent ids; rebuild
-        parents = {0: (-1, 0)}  # file node id -> (level, slot)
+        parents = {0: (0, 0)}  # file node id -> (level, slot); root = level 0
         child_count = {0: 0}
         idf = np.ones(k**levels, np.float32)
         for file_id, line in enumerate(f, start=1):

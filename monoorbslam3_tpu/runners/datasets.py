@@ -200,9 +200,13 @@ def main(argv=None):
     p.add_argument("--depth-out", default=None)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--realtime", action="store_true")
+    p.add_argument("--vocab", default=None,
+                   help="DBoW2 text vocabulary (the ORBvoc.txt positional "
+                        "argument of the reference demos); enables "
+                        "BoW-gated matching")
     args = p.parse_args(argv)
 
-    system = build_system(args.settings)
+    system = build_system(args.settings, vocab_path=args.vocab)
     loaders = {"euroc": euroc_dataset, "kitti": kitti_dataset,
                "tumvi": tumvi_dataset, "phone": VideoDataset}
     dataset = loaders[args.kind](args.data_dir)

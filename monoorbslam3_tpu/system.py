@@ -32,11 +32,20 @@ import jax.numpy as jnp
 
 class System:
     def __init__(self, camera, calib: ImuCalib, config=None, extractor=None,
-                 async_mapper: bool = False):
+                 async_mapper: bool = False, vocab=None):
+        """vocab: optional ops.vocab.Vocabulary. When set, every frame's
+        descriptors are assigned vocabulary node ids (Frame::computeBow,
+        Frame.cpp:168-178) and the reference-KF / triangulation matchers
+        gate candidates to shared nodes (SearchByBow /
+        SearchForTriangulation). Without one, matching is dense — on TPU
+        the full Hamming matrix is a single MXU matmul, so BoW gating is a
+        reference-parity/robustness feature rather than the speed device it
+        is on CPU."""
         cfg = dict(config or {})
         self.camera = camera
         self.calib = calib
         self.extractor = extractor
+        self.vocab = vocab
         n_feat = cfg.get("n_features", extractor.n_features if extractor else 1024)
         cfg["n_features"] = n_feat
         self.store = MapStore(
@@ -92,9 +101,12 @@ class System:
         s2 = jnp.ones(n)
         eye = jnp.eye(3)
         z3 = jnp.zeros(3)
+        grp = jnp.full(n, -1, jnp.int32)
         outs.append(_triangulate_pair_kernel(
             xy, desc, val, s2, xy, desc, val, s2, self.camera, eye, z3,
-            eye, jnp.asarray([0.1, 0.0, 0.0]))[1])
+            eye, jnp.asarray([0.1, 0.0, 0.0]), grp, grp)[1])
+        if self.vocab is not None:
+            outs.append(self.vocab.transform(desc, val)[1])
         outs.append(_fuse_project_kernel(
             jnp.zeros((n, 3)), desc, val, xy, desc, val, s2, self.camera,
             eye, z3, 4.0))
@@ -116,6 +128,15 @@ class System:
 
     # ------------------------------------------------------------------
 
+    def _assign_bow(self, feats: dict) -> dict:
+        """Fill feats["group"] with vocabulary node ids (one jitted batched
+        tree descent) when a vocabulary is configured."""
+        if self.vocab is not None and feats.get("group") is None:
+            _, group, _ = self.vocab.transform(
+                jnp.asarray(feats["desc"]), jnp.asarray(feats["valid"]))
+            feats["group"] = np.asarray(group)
+        return feats
+
     def track(self, t: float, image, imu=None) -> int:
         """Full path: ORB extraction on the image, then tracking
         (System::Track, System.cpp:86-106)."""
@@ -124,7 +145,7 @@ class System:
         assert self.extractor is not None, "System built without an extractor"
         out = self.extractor(image)
         feats = features_from_extractor(out, self.camera, self.extractor.scale_factors)
-        frame = make_frame(t, feats)
+        frame = make_frame(t, self._assign_bow(feats))
         state = self.tracking.track(frame, imu)
         if state == tracking_mod.LOST:
             self.request_reset()
@@ -134,7 +155,7 @@ class System:
         """Feature-injection path (deterministic tests / non-image sensors)."""
         if self._pending_reset:
             self._do_reset()
-        frame = make_frame(t, feats)
+        frame = make_frame(t, self._assign_bow(dict(feats)))
         state = self.tracking.track(frame, imu)
         if state == tracking_mod.LOST:
             self.request_reset()
