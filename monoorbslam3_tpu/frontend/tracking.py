@@ -77,6 +77,9 @@ class Tracking:
         self.new_kf_callback = None  # set by System: receives new KF id
         self.frames_since_kf = 0
         self.kf_tracked_count = 1
+        # IMU timeline anchor for the first frame after a checkpoint resume
+        # (no last_frame to take prev_t from)
+        self.resume_prev_t: float | None = None
         self._imu_log: list = []  # rolling (t, gx..az) rows for init replay
         self._ransac_key = jax.random.PRNGKey(cfg.get("seed", 0))
 
@@ -88,8 +91,11 @@ class Tracking:
         """imu: [n, 7] rows (t, gx, gy, gz, ax, ay, az) since last frame."""
         # 1. preintegration bookkeeping (Tracking.cpp:90-91)
         frame_buf = ImuBuffer()
-        if imu is not None and len(imu) and self.last_frame is not None:
-            prev_t = self.last_frame.time
+        prev_known = (self.last_frame.time if self.last_frame is not None
+                      else self.resume_prev_t)
+        self.resume_prev_t = None
+        if imu is not None and len(imu) and prev_known is not None:
+            prev_t = prev_known
             for row in imu:
                 dt = max(float(row[0]) - prev_t, 0.0)
                 prev_t = float(row[0])
@@ -302,7 +308,19 @@ class Tracking:
             return KfState(jnp.asarray(R.astype(np.float32)),
                            jnp.asarray(t.astype(np.float32)),
                            last.state.v, last.state.bg, last.state.ba)
-        return last.state if last is not None and last.state is not None else KfState.zeros()
+        if last is not None and last.state is not None:
+            return last.state
+        # no frame history (first frame after a checkpoint resume): start
+        # from the newest keyframe's state — the local-map wide-radius
+        # search re-acquires from there (the RECENTLY_LOST recovery path)
+        if self.last_kf_id >= 0:
+            k = self.last_kf_id
+            return KfState(
+                jnp.asarray(self.store.kf_R[k]), jnp.asarray(self.store.kf_t[k]),
+                jnp.asarray(self.store.kf_v[k]), jnp.asarray(self.store.kf_bg[k]),
+                jnp.asarray(self.store.kf_ba[k]),
+            )
+        return KfState.zeros()
 
     def _track_frame(self, frame: Frame):
         frame.state = self._predict_state(frame)
@@ -658,6 +676,7 @@ class Tracking:
     def reset(self):
         self.state = NO_IMAGE
         self.imu_ready = False
+        self.resume_prev_t = None
         self.last_frame = None
         self.init_frame = None
         self.ref_kf = -1

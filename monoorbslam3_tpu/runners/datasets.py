@@ -204,9 +204,17 @@ def main(argv=None):
                    help="DBoW2 text vocabulary (the ORBvoc.txt positional "
                         "argument of the reference demos); enables "
                         "BoW-gated matching")
+    p.add_argument("--save-state", default=None,
+                   help="checkpoint the full session (map + tracker/mapper "
+                        "state) to this npz at shutdown")
+    p.add_argument("--load-state", default=None,
+                   help="resume from a --save-state checkpoint before "
+                        "streaming frames")
     args = p.parse_args(argv)
 
     system = build_system(args.settings, vocab_path=args.vocab)
+    if args.load_state:
+        system.load_state(args.load_state)
     loaders = {"euroc": euroc_dataset, "kitti": kitti_dataset,
                "tumvi": tumvi_dataset, "phone": VideoDataset}
     dataset = loaders[args.kind](args.data_dir)
@@ -215,6 +223,8 @@ def main(argv=None):
         fps = float(load_settings_fps(args.settings))
     run_sequence(system, dataset, realtime_fps=fps, max_frames=args.max_frames)
     system.shutdown()
+    if args.save_state:
+        system.save_state(args.save_state)
     system.save_keyframe_trajectory(args.out_trajectory)
     if args.velocity_out:
         system.save_velocity_and_bias(args.velocity_out)

@@ -201,6 +201,76 @@ class System:
             self.mapper.refine_gravity()
 
     # ------------------------------------------------------------------
+    # checkpoint / resume (new capability; the reference is save-only,
+    # SURVEY.md §5 checkpoint/resume)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str):
+        """Checkpoint the full session: map store (incl. per-KF IMU replay
+        windows) + the tracking/mapper scalars needed to resume."""
+        from .models.checkpoint import save_map
+
+        tr, mp = self.tracking, self.mapper
+        save_map(self.store, path, extra={
+            "tracking_state": int(tr.state),
+            "imu_ready": bool(tr.imu_ready),
+            "ref_kf": int(tr.ref_kf),
+            "last_kf_id": int(tr.last_kf_id),
+            "last_kf_time": float(tr.last_kf_time),
+            "kf_tracked_count": int(tr.kf_tracked_count),
+            "imu_state": int(mp.imu_state),
+            "imu_init_time": (None if mp.imu_init_time is None
+                              else float(mp.imu_init_time)),
+            "kf_counter": int(mp.kf_counter),
+            # IMU timeline anchor: resume appends the (gap-free) sample
+            # stream to the restored KF preintegration window from here
+            "last_stream_time": (None if tr.last_frame is None
+                                 else float(tr.last_frame.time)),
+        })
+
+    def load_state(self, path: str):
+        """Resume from a checkpoint written by save_state. The next frame
+        re-acquires the map from the newest keyframe's pose (descriptor
+        match vs the reference KF, then the wide-radius local-map search) —
+        the same self-healing path used after RECENTLY_LOST."""
+        from .frontend import tracking as T
+        from .models.checkpoint import load_map
+
+        store, extra = load_map(path)
+        assert (store.max_kf == self.store.max_kf
+                and store.max_pt == self.store.max_pt
+                and store.n_feat == self.store.n_feat), (
+            "checkpoint capacities differ from this System's config")
+        self.store = store
+        self.tracking.store = store
+        self.mapper.store = store
+        tr, mp = self.tracking, self.mapper
+        tr.reset()
+        tr.state = T.OK if extra["tracking_state"] in (T.OK, T.RECENTLY_LOST) \
+            else extra["tracking_state"]
+        tr.imu_ready = extra["imu_ready"]
+        tr.ref_kf = extra["ref_kf"]
+        tr.last_kf_id = extra["last_kf_id"]
+        tr.last_kf_time = extra["last_kf_time"]
+        tr.kf_tracked_count = extra["kf_tracked_count"]
+        tr.resume_prev_t = extra.get("last_stream_time")
+        if tr.last_kf_id >= 0:
+            # continue the RESTORED since-last-KF window (it carries the
+            # samples from the KF up to the checkpoint; with resume_prev_t
+            # anchoring the next rows, the preintegration stays gap-free —
+            # an incomplete window here poisons the inertial init)
+            restored = store.kf_imu.get(tr.last_kf_id)
+            if restored is not None:
+                tr.kf_imu_buffer = restored
+            else:
+                store.kf_imu[tr.last_kf_id] = tr.kf_imu_buffer
+        mp.imu_state = extra["imu_state"]
+        mp.imu_init_time = extra["imu_init_time"]
+        mp.kf_counter = extra["kf_counter"]
+        mp.recent_points = []
+        self._pending_reset = False
+
+    # ------------------------------------------------------------------
     # exports (System.cpp:125-222)
     # ------------------------------------------------------------------
 

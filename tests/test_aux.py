@@ -185,3 +185,66 @@ def test_system_warmup_compiles_solver_shapes():
         "n_features": 32, "local_k": 4, "local_p": 32, "local_o": 64})
     syst.warmup(ba_iters=(2,))
     assert problems_mod.schur_ba._cache_size() >= 1
+
+
+def test_resume_from_checkpoint_continues_tracking():
+    """System.save_state / load_state: run the synthetic pipeline, snapshot
+    mid-run, resume in a FRESH System, and keep tracking — the resumed
+    session must re-acquire the restored map (RECENTLY_LOST-style recovery
+    from the newest KF pose) and extend the keyframe trajectory."""
+    import tempfile
+
+    from tests.test_e2e_synthetic import (
+        BA_TRUE, BG_TRUE, CALIB, CAM, N_FEAT, R_BC, T_BC, _make_feats,
+    )
+    from monoorbslam3_tpu.frontend import tracking as T
+    from monoorbslam3_tpu.sim import Trajectory, World
+    from monoorbslam3_tpu.system import System
+
+    cfg = {
+        "n_features": N_FEAT, "init_min_features": 100,
+        "init_min_matches": 60, "local_k": 16, "local_p": 1024,
+        "local_o": 3072, "local_pt_cap": 1024, "imu_init_kfs": 10,
+        "max_pt": 16384, "kf_max_interval": 0.25, "kf_tracked_ratio": 0.85,
+    }
+    traj = Trajectory()
+    world = World(traj=traj, n_points=3000, seed=5)
+    rng0 = np.random.default_rng(7)
+    r = rng0.uniform(traj.radius + 1.0, traj.radius + 4.0, 3000)
+    th = rng0.uniform(0, 2 * np.pi, 3000)
+    z = rng0.uniform(-2.0, 3.0, 3000)
+    world.points = np.stack([r * np.cos(th), r * np.sin(th), z], axis=-1)
+    rng = np.random.default_rng(9)
+
+    def drive(sys_, t0, t1, last_t0):
+        last_t, states = last_t0, []
+        for t in np.arange(t0, t1, 1.0 / 20.0):
+            obs = world.observe(t, CAM, R_BC, T_BC, noise_px=0.3,
+                                flip_bits=4, max_kps=N_FEAT, rng=rng)
+            imu = None
+            if last_t >= 0.0 and t > last_t:  # continuous stream across phases
+                g, a, d = traj.imu_samples(last_t, t, 200.0, bg=BG_TRUE,
+                                           ba=BA_TRUE, noise_gyro=1.7e-4,
+                                           noise_acc=2e-3, rng=rng)
+                ts = last_t + np.cumsum(d)
+                imu = np.concatenate([ts[:, None], g, a], axis=1)
+            states.append(sys_.track_features(t, _make_feats(obs), imu))
+            last_t = t
+        return np.asarray(states), last_t
+
+    sys1 = System(CAM, CALIB, config=cfg)
+    states1, last_t = drive(sys1, 0.0, 2.0, -1.0)
+    assert (states1 == T.OK).sum() > 10, "phase 1 never tracked"
+    n_kf_1 = sys1.store.n_keyframes()
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        ckpt = f.name
+    sys1.save_state(ckpt)
+
+    sys2 = System(CAM, CALIB, config=cfg)  # fresh process analog
+    sys2.load_state(ckpt)
+    assert sys2.store.n_keyframes() == n_kf_1
+    states2, _ = drive(sys2, 2.0, 3.5, last_t)
+    ok2 = states2 == T.OK
+    assert ok2.any(), "resumed session never re-acquired the map"
+    assert ok2.mean() > 0.6, f"resumed tracking weak: {ok2.mean():.0%} OK"
+    assert sys2.store.n_keyframes() > n_kf_1, "no new KFs after resume"

@@ -117,3 +117,38 @@ def test_euroc_loader_and_runner(tmp_path):
     states = run_sequence(system, ds, progress_every=0, log=lambda *a: None)
     assert len(states) == 6  # random texture: init may or may not succeed
     system.shutdown()
+
+
+def test_kitti_loader_layout(tmp_path):
+    """KITTI raw layout (kittiDemo.cpp:14-40): image_00/times.txt,
+    image_00/data/%010d.png, oxts/imu.txt — parsed with correct IMU
+    slicing per frame."""
+    from PIL import Image
+
+    from monoorbslam3_tpu.runners.datasets import kitti_dataset
+
+    rng = np.random.default_rng(1)
+    (tmp_path / "image_00" / "data").mkdir(parents=True)
+    (tmp_path / "oxts").mkdir()
+    fps, n = 10.0, 4
+    times = np.arange(n) / fps + 50.0
+    (tmp_path / "image_00" / "times.txt").write_text(
+        "".join(f"{t:.6f}\n" for t in times))
+    img = rng.integers(0, 255, (370, 1226), dtype=np.uint8)
+    for i in range(n):
+        Image.fromarray(img).save(
+            tmp_path / "image_00" / "data" / ("%010d.png" % i))
+    ts = np.arange(49.8, times[-1] + 0.01, 0.01)
+    (tmp_path / "oxts" / "imu.txt").write_text(
+        "".join(f"{t:.6f} 0.01 0.02 0.03 0.1 0.2 9.7\n" for t in ts))
+
+    ds = kitti_dataset(str(tmp_path))
+    assert len(ds) == n
+    frames = list(ds.frames())
+    t0, img0, imu0 = frames[0]
+    assert img0.shape == (370, 1226)
+    t1, _, imu1 = frames[1]
+    assert imu1 is not None
+    assert (imu1[:, 0] > t0).all() and (imu1[:, 0] <= t1).all()
+    # ~10 IMU rows per 0.1 s frame at 100 Hz
+    assert 8 <= len(imu1) <= 12
