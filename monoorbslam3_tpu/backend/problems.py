@@ -211,8 +211,11 @@ class Problems:
         self.calib = calib
         self.local_k, self.local_p, self.local_o = local_k, local_p, local_o
         self.imu_cap = imu_cap
+        from ..models.imu import preintegrate_tree
+
         self._preint_batch = jax.jit(jax.vmap(
-            lambda g, a, d, m, bg, ba: preintegrate(g, a, d, m, bg, ba, calib)
+            lambda g, a, d, m, bg, ba: preintegrate_tree(g, a, d, m, bg, ba,
+                                                         calib)
         ))
         self._whiten_batch = jax.jit(PreintEdge.from_preintegrated)
 

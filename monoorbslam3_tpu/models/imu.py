@@ -172,6 +172,170 @@ from ..utils.precision import f32_matmuls
 preintegrate_jit = jax.jit(f32_matmuls(preintegrate))
 
 
+# ---------------------------------------------------------------------------
+# Tree (associative) preintegration — the TPU-native hot path.
+#
+# The sequential scan above costs O(N) dependent micro-steps (~50 us each on
+# TPU: pure dispatch latency on 3x3/9x9 ops), i.e. several ms per frame for
+# a keyframe window. But preintegrated segments form a MONOID: two adjacent
+# segments compose in closed form — state deltas, the 9x9 error transition
+# A, the accumulated covariance, and all five bias Jacobians — so the window
+# reduces as a binary tree: log2(N) levels of BATCHED small matmuls instead
+# of N sequential steps. The composition below is derived exactly from the
+# per-step recursions (Imu.cpp:101-148), so it matches `preintegrate` to
+# f32 rounding (unit-tested).
+#
+# Error-coordinate bookkeeping: the per-step A mixes the cumulative rotation
+# from the WINDOW start into the v/p rows. In a standalone segment those
+# rows use the segment-local rotation; conjugating by
+# Gamma(dR1) = blockdiag(I, dR1, dR1) re-expresses segment 2's propagation
+# in segment 1's start frame:  A_ctx = Gamma(dR1) A2 Gamma(dR1)^T.
+# ---------------------------------------------------------------------------
+
+
+class _Seg(NamedTuple):
+    dR: jnp.ndarray   # [..., 3, 3]
+    dV: jnp.ndarray   # [..., 3]
+    dP: jnp.ndarray   # [..., 3]
+    dt: jnp.ndarray   # [...]
+    A: jnp.ndarray    # [..., 9, 9] standalone error transition (r, v, p)
+    C9: jnp.ndarray   # [..., 9, 9] accumulated measurement-noise covariance
+    JRg: jnp.ndarray  # [..., 3, 3]
+    JVg: jnp.ndarray
+    JVa: jnp.ndarray
+    JPg: jnp.ndarray
+    JPa: jnp.ndarray
+    n: jnp.ndarray    # [...] number of (real) samples — scales the bias walk
+
+
+def _leaf_segments(gyro, acc, dts, maskf, bg, ba, calib) -> _Seg:
+    """Vectorized single-sample segments; masked samples become the exact
+    identity element (dt=0 => dR=I, A=I, C=0, J=0)."""
+    dt = dts * maskf  # [N]
+    w = (gyro - bg) * maskf[:, None]
+    a = (acc - ba) * maskf[:, None]
+    dt_ = dt[:, None, None]
+    dt2_ = (dt * dt)[:, None, None]
+
+    dR = jax.vmap(lie.exp_so3)(w * dt[:, None])          # [N, 3, 3]
+    Jr = jax.vmap(lie.right_jacobian_so3)(w * dt[:, None])
+    a_hat = jax.vmap(lie.hat)(a)
+
+    N = gyro.shape[0]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (N, 3, 3))
+    A = jnp.zeros((N, 9, 9), jnp.float32)
+    A = A.at[:, 0:3, 0:3].set(jnp.swapaxes(dR, -1, -2))
+    A = A.at[:, 3:6, 0:3].set(-a_hat * dt_)
+    A = A.at[:, 3:6, 3:6].set(eye3)
+    A = A.at[:, 6:9, 0:3].set(-0.5 * a_hat * dt2_)
+    A = A.at[:, 6:9, 3:6].set(eye3 * dt_)
+    A = A.at[:, 6:9, 6:9].set(eye3)
+
+    # C9 = B Sigma_noise B^T with B = [[Jr dt, 0], [0, I dt], [0, 0.5 I dt^2]]
+    sg = calib.cov_noise[:3]  # gyro variances (diagonal)
+    sa = calib.cov_noise[3:]
+    JrD = Jr * dt_
+    C9 = jnp.zeros((N, 9, 9), jnp.float32)
+    C9 = C9.at[:, 0:3, 0:3].set(jnp.einsum("nij,j,nkj->nik", JrD, sg, JrD))
+    diag_a = jnp.zeros((N, 3, 3), jnp.float32).at[
+        :, jnp.arange(3), jnp.arange(3)].set(sa[None, :])
+    C9 = C9.at[:, 3:6, 3:6].set(diag_a * dt2_)
+    C9 = C9.at[:, 3:6, 6:9].set(diag_a * 0.5 * dt_ * dt2_)
+    C9 = C9.at[:, 6:9, 3:6].set(diag_a * 0.5 * dt_ * dt2_)
+    C9 = C9.at[:, 6:9, 6:9].set(diag_a * 0.25 * dt2_ * dt2_)
+
+    z33 = jnp.zeros((N, 3, 3), jnp.float32)
+    return _Seg(
+        dR=dR, dV=a * dt[:, None], dP=0.5 * a * (dt * dt)[:, None], dt=dt,
+        A=A, C9=C9,
+        JRg=-JrD, JVg=z33, JVa=-eye3 * dt_, JPg=z33,
+        JPa=-0.5 * eye3 * dt2_, n=maskf,
+    )
+
+
+def _compose_segments(s1: _Seg, s2: _Seg) -> _Seg:
+    """Batched monoid op: s1 (earlier) then s2 (later)."""
+    mm = jnp.matmul
+    dR1, dR2 = s1.dR, s2.dR
+    dt2 = s2.dt[..., None]
+
+    dR = jax.vmap(lie.normalize_rotation)(mm(dR1, dR2))
+    dV = s1.dV + jnp.einsum("nij,nj->ni", dR1, s2.dV)
+    dP = s1.dP + s1.dV * dt2 + jnp.einsum("nij,nj->ni", dR1, s2.dP)
+
+    # A_ctx = Gamma(dR1) A2 Gamma(dR1)^T with Gamma = blockdiag(I, dR1, dR1):
+    # left-multiply v/p block-rows by dR1, right-multiply v/p block-cols by dR1^T
+    A2 = s2.A
+    N = A2.shape[0]
+
+    def gamma_left(M):  # Gamma(dR1) @ M
+        top = M[:, 0:3, :]
+        mid = mm(dR1, M[:, 3:6, :])
+        bot = mm(dR1, M[:, 6:9, :])
+        return jnp.concatenate([top, mid, bot], axis=1)
+
+    def gamma_right_T(M):  # M @ Gamma(dR1)^T
+        left = M[:, :, 0:3]
+        mid = mm(M[:, :, 3:6], jnp.swapaxes(dR1, -1, -2))
+        right = mm(M[:, :, 6:9], jnp.swapaxes(dR1, -1, -2))
+        return jnp.concatenate([left, mid, right], axis=2)
+
+    A_ctx = gamma_right_T(gamma_left(A2))
+    A = mm(A_ctx, s1.A)
+    C9 = (mm(mm(A_ctx, s1.C9), jnp.swapaxes(A_ctx, -1, -2))
+          + gamma_right_T(gamma_left(s2.C9)))
+
+    A2_vt = A2[:, 3:6, 0:3]
+    A2_pt = A2[:, 6:9, 0:3]
+    JRg = mm(jnp.swapaxes(dR2, -1, -2), s1.JRg) + s2.JRg
+    JVg = s1.JVg + mm(dR1, s2.JVg + mm(A2_vt, s1.JRg))
+    JVa = s1.JVa + mm(dR1, s2.JVa)
+    JPg = (s1.JPg + s1.JVg * dt2[..., None]
+           + mm(dR1, s2.JPg + mm(A2_pt, s1.JRg)))
+    JPa = s1.JPa + s1.JVa * dt2[..., None] + mm(dR1, s2.JPa)
+
+    return _Seg(dR=dR, dV=dV, dP=dP, dt=s1.dt + s2.dt, A=A, C9=C9,
+                JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa, n=s1.n + s2.n)
+
+
+def preintegrate_tree(gyro, acc, dts, mask, bg, ba, calib: ImuCalib) -> Preintegrated:
+    """Associative-reduction equivalent of `preintegrate`: identical result
+    (to f32 rounding), log2(N) batched levels instead of N scan steps."""
+    gyro = jnp.asarray(gyro, jnp.float32)
+    acc = jnp.asarray(acc, jnp.float32)
+    dts = jnp.asarray(dts, jnp.float32)
+    maskf = jnp.asarray(mask, jnp.float32)
+    bg = jnp.asarray(bg, jnp.float32)
+    ba = jnp.asarray(ba, jnp.float32)
+
+    n = gyro.shape[0]
+    n_pad = max(1, 1 << (n - 1).bit_length())
+    if n_pad != n:
+        pad = n_pad - n
+        gyro = jnp.pad(gyro, ((0, pad), (0, 0)))
+        acc = jnp.pad(acc, ((0, pad), (0, 0)))
+        dts = jnp.pad(dts, ((0, pad),))
+        maskf = jnp.pad(maskf, ((0, pad),))
+
+    seg = _leaf_segments(gyro, acc, dts, maskf, bg, ba, calib)
+    while seg.dt.shape[0] > 1:
+        a = jax.tree_util.tree_map(lambda x: x[0::2], seg)
+        b = jax.tree_util.tree_map(lambda x: x[1::2], seg)
+        seg = _compose_segments(a, b)
+    seg = jax.tree_util.tree_map(lambda x: x[0], seg)
+
+    C = jnp.zeros((15, 15), jnp.float32)
+    C = C.at[:9, :9].set(seg.C9)
+    C = C.at[jnp.arange(9, 15), jnp.arange(9, 15)].set(seg.n * calib.cov_walk)
+    return Preintegrated(
+        dR=seg.dR, dV=seg.dV, dP=seg.dP, C=C, JRg=seg.JRg, JVg=seg.JVg,
+        JVa=seg.JVa, JPg=seg.JPg, JPa=seg.JPa, dt=seg.dt, bg=bg, ba=ba,
+    )
+
+
+preintegrate_tree_jit = jax.jit(f32_matmuls(preintegrate_tree))
+
+
 class ImuBuffer:
     """Host-side raw-sample store backing one preintegration window.
 
@@ -231,5 +395,8 @@ class ImuBuffer:
 
     def integrate(self, bg, ba, calib: ImuCalib, capacity: int | None = None) -> Preintegrated:
         g, a, d, m = self.padded(capacity)
-        return preintegrate_jit(g, a, d, m, jnp.asarray(bg, jnp.float32),
-                                jnp.asarray(ba, jnp.float32), calib)
+        # tree reduction: log2(N) batched levels vs N sequential scan steps
+        # (~50 us/step dispatch latency on TPU — the scan made the KF-window
+        # integrate the most expensive kernel of the tracking step)
+        return preintegrate_tree_jit(g, a, d, m, jnp.asarray(bg, jnp.float32),
+                                     jnp.asarray(ba, jnp.float32), calib)

@@ -124,3 +124,41 @@ def test_imu_buffer_merge_equivalence():
                           jnp.zeros(3), jnp.zeros(3), CALIB)
     np.testing.assert_allclose(np.asarray(merged.dR), np.asarray(direct.dR), atol=1e-6)
     np.testing.assert_allclose(np.asarray(merged.dP), np.asarray(direct.dP), atol=1e-5)
+
+
+def test_tree_preintegration_matches_sequential():
+    """preintegrate_tree (log-depth associative reduction, the TPU hot
+    path) must reproduce the sequential scan exactly (to f32 rounding):
+    deltas, 15x15 covariance, and all five bias Jacobians, including
+    mask padding."""
+    import jax.numpy as jnp
+
+    from monoorbslam3_tpu.models.imu import (
+        ImuCalib, preintegrate, preintegrate_tree,
+    )
+
+    calib = ImuCalib.create(
+        R_bc=np.eye(3), t_bc=np.zeros(3), noise_gyro=1.7e-4, noise_acc=2e-3,
+        walk_gyro=2e-5, walk_acc=3e-3, freq=200.0)
+    rng = np.random.default_rng(3)
+    for n, n_real in [(1, 1), (7, 7), (64, 50), (200, 177)]:
+        g = rng.normal(0, 0.4, (n, 3)).astype(np.float32)
+        a = (np.array([0, 0, 9.8], np.float32)
+             + rng.normal(0, 0.8, (n, 3)).astype(np.float32))
+        d = rng.uniform(0.004, 0.006, n).astype(np.float32)
+        m = np.zeros(n, np.float32)
+        m[:n_real] = 1.0
+        bg = np.array([0.01, -0.02, 0.005], np.float32)
+        ba = np.array([0.05, 0.02, -0.03], np.float32)
+
+        seq = preintegrate(g, a, d, m, jnp.asarray(bg), jnp.asarray(ba), calib)
+        tree = preintegrate_tree(g, a, d, m, jnp.asarray(bg), jnp.asarray(ba),
+                                 calib)
+        for name in ("dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(tree, name)), np.asarray(getattr(seq, name)),
+                rtol=2e-4, atol=2e-5, err_msg=f"{name} n={n}")
+        np.testing.assert_allclose(float(tree.dt), float(seq.dt), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(tree.C), np.asarray(seq.C),
+                                   rtol=3e-3, atol=1e-12,
+                                   err_msg=f"C n={n}")
