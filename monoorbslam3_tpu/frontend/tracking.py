@@ -21,6 +21,7 @@ from ..backend import residuals as res
 from ..backend.residuals import KfState
 from ..models.imu import GRAVITY_VALUE, ImuBuffer
 from ..ops import matching
+from ..ops.match_pallas import projected_match
 from ..ops.twoview import reconstruct_two_views
 from ..utils import lie
 from .frame import Frame
@@ -402,13 +403,12 @@ class Tracking:
     def _match_points_to_frame(self, frame: Frame, xyz, desc, valid, ids,
                                radius, max_dist, ratio=0.9):
         uv, ok = self._project(frame.state, xyz)
-        mask = matching.projection_mask(
-            jnp.asarray(uv), jnp.asarray(ok & valid), jnp.asarray(frame.xy),
-            jnp.asarray(frame.valid), jnp.asarray(radius, jnp.float32),
-        )
-        idx, dist = matching.match_descriptors(
-            jnp.asarray(desc), jnp.asarray(frame.desc), mask,
-            max_dist=max_dist, ratio=ratio, use_rotation=False,
+        idx, dist = projected_match(
+            jnp.asarray(desc), jnp.asarray(frame.desc),
+            uv_a=jnp.asarray(uv), xy_b=jnp.asarray(frame.xy),
+            radius=jnp.asarray(radius, jnp.float32),
+            valid_a=jnp.asarray(ok & valid), valid_b=jnp.asarray(frame.valid),
+            max_dist=max_dist, ratio=ratio,
         )
         idx = np.asarray(idx)
         frame.pt_ids[:] = -1
@@ -449,11 +449,11 @@ class Tracking:
         groups_f = (frame.group if frame.group is not None
                     else np.full(self.n_feat, -1, np.int32))
         # no spatial gate — descriptor matching with stricter ratio, node-gated
-        mask = (jnp.asarray(valid)[:, None] & jnp.asarray(frame.valid)[None, :]
-                & matching.node_gate(jnp.asarray(groups_kf), jnp.asarray(groups_f)))
-        idx, _ = matching.match_descriptors(
-            jnp.asarray(desc), jnp.asarray(frame.desc), mask,
-            max_dist=matching.TH_LOW, ratio=0.75, use_rotation=False,
+        idx, _ = projected_match(
+            jnp.asarray(desc), jnp.asarray(frame.desc),
+            groups_a=jnp.asarray(groups_kf), groups_b=jnp.asarray(groups_f),
+            valid_a=jnp.asarray(valid), valid_b=jnp.asarray(frame.valid),
+            max_dist=matching.TH_LOW, ratio=0.75,
         )
         idx = np.asarray(idx)
         frame.pt_ids[:] = -1
@@ -515,13 +515,13 @@ class Tracking:
         radius = np.maximum(12.0, 4.0 * self.scale_factors[level_pred]).astype(np.float32)
 
         def run_local_match(rad):
-            mask = matching.projection_mask(
-                jnp.asarray(uv), jnp.asarray(ok & valid), jnp.asarray(frame.xy),
-                jnp.asarray(frame.valid), jnp.asarray(rad),
-            )
-            out_idx, _ = matching.match_descriptors(
-                jnp.asarray(desc), jnp.asarray(frame.desc), mask,
-                max_dist=matching.TH_HIGH, ratio=0.8, use_rotation=False,
+            out_idx, _ = projected_match(
+                jnp.asarray(desc), jnp.asarray(frame.desc),
+                uv_a=jnp.asarray(uv), xy_b=jnp.asarray(frame.xy),
+                radius=jnp.asarray(rad),
+                valid_a=jnp.asarray(ok & valid),
+                valid_b=jnp.asarray(frame.valid),
+                max_dist=matching.TH_HIGH, ratio=0.8,
             )
             return np.asarray(out_idx)
 
