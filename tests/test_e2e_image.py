@@ -93,4 +93,6 @@ def test_image_path_trajectory_accuracy(image_run):
     s, R, tt = umeyama_align(kp, gt)
     err = np.linalg.norm((s * kp @ R.T + tt) - gt, axis=1)
     rmse = float(np.sqrt((err**2).mean()))
-    assert rmse < 0.25, f"image-path KF ATE RMSE {rmse * 100:.0f} cm"
+    # measured 1.7 cm (2026-08-18); 10 cm bound leaves room for backend
+    # numeric drift while still catching real regressions
+    assert rmse < 0.10, f"image-path KF ATE RMSE {rmse * 100:.0f} cm"
