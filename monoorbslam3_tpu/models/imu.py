@@ -259,7 +259,12 @@ def _compose_segments(s1: _Seg, s2: _Seg) -> _Seg:
     dR1, dR2 = s1.dR, s2.dR
     dt2 = s2.dt[..., None]
 
-    dR = jax.vmap(lie.normalize_rotation)(mm(dR1, dR2))
+    # product of two rotations is near-SO(3) by construction: one Newton
+    # polar step (eps -> O(eps^2)) replaces the batched 3x3 SVD the
+    # sequential path uses (latency-bound iterative kernel on TPU)
+    dR = mm(dR1, dR2)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), dR.shape)
+    dR = mm(dR, 1.5 * eye3 - 0.5 * mm(jnp.swapaxes(dR, -1, -2), dR))
     dV = s1.dV + jnp.einsum("nij,nj->ni", dR1, s2.dV)
     dP = s1.dP + s1.dV * dt2 + jnp.einsum("nij,nj->ni", dR1, s2.dP)
 
