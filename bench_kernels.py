@@ -75,22 +75,27 @@ def main():
         report(f"hamming_{tag}", ms, flops, bytes_, f"{N}x{M}x256b",
                "+-1 bit-plane MXU matmul (ops/matching.py)")
 
-    # ---- full masked match step (hamming + top2 + mutual + ratio) ------
+    # ---- full masked match step (the production fused path) ------------
+    from monoorbslam3_tpu.ops.match_pallas import projected_match
+
     da = jnp.asarray(rng.integers(0, 2**32, (1024, 8), dtype=np.uint32))
     db = jnp.asarray(rng.integers(0, 2**32, (1024, 8), dtype=np.uint32))
-    mask = jnp.asarray(rng.random((1024, 1024)) < 0.1)
+    uv = jnp.asarray(rng.uniform(0, 700, (1024, 2)).astype(np.float32))
+    xy = jnp.asarray(rng.uniform(0, 700, (1024, 2)).astype(np.float32))
+    rad = jnp.full(1024, 15.0, jnp.float32)
+    ones = np.ones(1024, bool)
 
     def match(eps):
-        idx, dist = matching.match_descriptors(
-            da ^ eps.astype(jnp.uint32), db, mask,
-            max_dist=matching.TH_HIGH, ratio=0.9)
+        idx, dist = projected_match(
+            da ^ eps.astype(jnp.uint32), db, uv_a=uv, xy_b=xy, radius=rad,
+            valid_a=ones, valid_b=ones, max_dist=matching.TH_HIGH, ratio=0.9)
         return dist.astype(jnp.float32)
 
     ms = _scan_time_ms(match, 300)
-    flops = 2.0 * 1024 * 1024 * 256
-    bytes_ = 2 * 1024 * 256 * 2 + 1024 * 1024 * (4 + 4 + 1)
-    report("match_step_rt", ms, flops, bytes_, "1024x1024 masked",
-           "hamming + masked top-2 + mutual + ratio")
+    flops = 2 * (2.0 * 1024 * 1024 * 256)  # fwd + transposed mutual pass
+    bytes_ = 2 * 2 * 1024 * 256 * 2
+    report("match_step_rt", ms, flops, bytes_, "1024x1024 gated",
+           "fused gate + hamming + top-2 + mutual (no [N,M] HBM traffic)")
 
     # ---- ORB extraction: one frame vs an 8-frame data-parallel batch ---
     from monoorbslam3_tpu.ops.orb import OrbExtractor

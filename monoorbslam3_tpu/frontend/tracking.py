@@ -29,6 +29,25 @@ from .frame import Frame
 G_W = np.array([0.0, 0.0, -GRAVITY_VALUE], np.float32)
 
 
+@jax.jit
+def _predict_deltas(pre, bg, ba):
+    """Bias-corrected (dR, dV, dP) in ONE device call — the eager chain
+    (exp_so3 + normalize + matmuls per delta) costs a round trip per op."""
+    return (pre.delta_rotation(bg), pre.delta_velocity(bg, ba),
+            pre.delta_position(bg, ba))
+
+
+@jax.jit
+def _project_points(R_wb, t_wb, R_cb, t_cb, xyz, camera):
+    """Batched world->pixel projection + visibility, one device call."""
+    R_cw = R_cb @ R_wb.T
+    t_cw = t_cb - R_cw @ t_wb
+    pc = xyz @ R_cw.T + t_cw
+    uv = camera.project(pc)
+    ok = (pc[:, 2] > 0.05) & camera.is_in_image(uv)
+    return uv, ok
+
+
 def _orthonormalize(R: np.ndarray) -> np.ndarray:
     """Exact projection of a near-rotation onto SO(3) (host side, 3x3)."""
     U, _, Vt = np.linalg.svd(R.astype(np.float64))
@@ -290,9 +309,8 @@ class Tracking:
             pre = frame.pre_from_kf
             bg = jnp.asarray(self.store.kf_bg[k])
             ba = jnp.asarray(self.store.kf_ba[k])
-            dR = np.asarray(pre.delta_rotation(bg))
-            dV = np.asarray(pre.delta_velocity(bg, ba))
-            dP = np.asarray(pre.delta_position(bg, ba))
+            dR_d, dV_d, dP_d = _predict_deltas(pre, bg, ba)
+            dR, dV, dP = np.asarray(dR_d), np.asarray(dV_d), np.asarray(dP_d)
             dt = float(pre.dt)
             R0, t0, v0 = self.store.kf_R[k], self.store.kf_t[k], self.store.kf_v[k]
             R = R0 @ dR
@@ -393,11 +411,11 @@ class Tracking:
         return xyz, desc, valid, ids
 
     def _project(self, state: KfState, xyz):
-        s = state
-        R_cw, t_cw = res.camera_pose(s, self.calib.R_cb, self.calib.t_cb)
-        pc = jnp.asarray(xyz) @ jnp.asarray(R_cw).T + jnp.asarray(t_cw)
-        uv = self.camera.project(pc)
-        ok = (pc[:, 2] > 0.05) & self.camera.is_in_image(uv)
+        uv, ok = _project_points(
+            jnp.asarray(state.R_wb), jnp.asarray(state.t_wb),
+            jnp.asarray(self.calib.R_cb), jnp.asarray(self.calib.t_cb),
+            jnp.asarray(xyz), self.camera,
+        )
         return np.asarray(uv), np.asarray(ok)
 
     def _match_points_to_frame(self, frame: Frame, xyz, desc, valid, ids,
