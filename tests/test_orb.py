@@ -146,3 +146,50 @@ def test_extractor_subpixel_flag():
     d = np.abs(np.asarray(f1["xy"])[v] - np.asarray(f0["xy"])[v])
     assert (d <= 0.5 * sf[:, None] + 1e-5).all()
     assert (d > 0).any(), "refinement moved nothing"
+
+
+def test_descriptor_rotation_invariance():
+    """Rotated BRIEF (IC-angle steering) must match descriptors across an
+    in-plane rotation — the property that separates rBRIEF from plain
+    BRIEF (ORBExtractor.cpp:18-48 orientation + steered pattern). Rotate a
+    textured image 30 deg, extract both, match with no spatial gate, and
+    check the matches obey the known rotation."""
+    from PIL import Image
+
+    from monoorbslam3_tpu.ops.orb import OrbExtractor
+    from monoorbslam3_tpu.ops import matching
+
+    rng = np.random.default_rng(4)
+    H = W = 384
+    # smooth random texture: corners at many orientations
+    small = rng.uniform(0, 255, (H // 8, W // 8))
+    img = np.kron(small, np.ones((8, 8))).astype(np.float32)
+
+    deg = 30.0
+    rot = np.asarray(Image.fromarray(img.astype(np.uint8)).rotate(
+        deg, resample=Image.BILINEAR), np.float32)
+
+    ext = OrbExtractor(H, W, n_features=512)
+    a = ext(jnp.asarray(img))
+    b = ext(jnp.asarray(rot))
+
+    idx, _ = matching.match_descriptors(
+        jnp.asarray(a["desc"]), jnp.asarray(b["desc"]),
+        jnp.asarray(a["valid"])[:, None] & jnp.asarray(b["valid"])[None, :],
+        max_dist=matching.TH_LOW, ratio=0.8)
+    idx = np.asarray(idx)
+    hit = idx >= 0
+    n_matches = int(hit.sum())
+    assert n_matches > 40, f"only {n_matches} cross-rotation matches"
+
+    # PIL rotates CCW about the center; predicted position of a in b
+    th = np.deg2rad(deg)
+    c = np.array([(W - 1) / 2.0, (H - 1) / 2.0])
+    R2 = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+    xa = np.asarray(a["xy"])[hit]
+    xb = np.asarray(b["xy"])[idx[hit]]
+    pred = (xa - c) @ R2.T + c
+    err = np.linalg.norm(pred - xb, axis=1)
+    frac_good = float((err < 4.0).mean())
+    assert frac_good > 0.6, (
+        f"only {frac_good:.0%} of {n_matches} matches obey the rotation")
