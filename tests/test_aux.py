@@ -248,3 +248,59 @@ def test_resume_from_checkpoint_continues_tracking():
     assert ok2.any(), "resumed session never re-acquired the map"
     assert ok2.mean() > 0.6, f"resumed tracking weak: {ok2.mean():.0%} OK"
     assert sys2.store.n_keyframes() > n_kf_1, "no new KFs after resume"
+
+
+def test_async_mapper_full_pipeline_accuracy():
+    """The pipelined mode (host-thread mapper, the reference's actual
+    two-thread topology) must sustain tracking and produce a sane KF
+    trajectory on the synthetic world — not just process the queue."""
+    from tests.test_e2e_synthetic import (
+        BA_TRUE, BG_TRUE, CALIB, CAM, N_FEAT, R_BC, T_BC, _make_feats,
+    )
+    from monoorbslam3_tpu.evaluation.ate import umeyama_align
+    from monoorbslam3_tpu.frontend import tracking as T
+    from monoorbslam3_tpu.sim import Trajectory, World
+    from monoorbslam3_tpu.system import System
+
+    traj = Trajectory()
+    world = World(traj=traj, n_points=3000, seed=5)
+    rng0 = np.random.default_rng(7)
+    r = rng0.uniform(traj.radius + 1.0, traj.radius + 4.0, 3000)
+    th = rng0.uniform(0, 2 * np.pi, 3000)
+    z = rng0.uniform(-2.0, 3.0, 3000)
+    world.points = np.stack([r * np.cos(th), r * np.sin(th), z], axis=-1)
+    rng = np.random.default_rng(9)
+
+    syst = System(CAM, CALIB, config={
+        "n_features": N_FEAT, "init_min_features": 100,
+        "init_min_matches": 60, "local_k": 16, "local_p": 1024,
+        "local_o": 3072, "local_pt_cap": 1024, "imu_init_kfs": 10,
+        "max_pt": 16384, "kf_max_interval": 0.25, "kf_tracked_ratio": 0.85,
+    }, async_mapper=True)
+
+    last_t, states = 0.0, []
+    for i, t in enumerate(np.arange(0.0, 4.0, 1.0 / 20.0)):
+        obs = world.observe(t, CAM, R_BC, T_BC, noise_px=0.3, flip_bits=4,
+                            max_kps=N_FEAT, rng=rng)
+        imu = None
+        if i:
+            g, a, d = traj.imu_samples(last_t, t, 200.0, bg=BG_TRUE,
+                                       ba=BA_TRUE, noise_gyro=1.7e-4,
+                                       noise_acc=2e-3, rng=rng)
+            ts = last_t + np.cumsum(d)
+            imu = np.concatenate([ts[:, None], g, a], axis=1)
+        states.append(syst.track_features(t, _make_feats(obs), imu))
+        last_t = t
+    states = np.asarray(states)
+    syst.shutdown()
+
+    ok = states == T.OK
+    assert ok.mean() > 0.7, f"async pipeline tracked only {ok.mean():.0%}"
+    ids = syst.store.keyframe_ids()
+    assert len(ids) >= 8
+    kp = np.stack([syst.store.kf_t[k] for k in ids])
+    gt = traj.pos(np.array([syst.store.kf_time[k] for k in ids]))
+    s, R, tt = umeyama_align(kp, gt)
+    err = np.linalg.norm((s * kp @ R.T + tt) - gt, axis=1)
+    rmse = float(np.sqrt((err**2).mean()))
+    assert rmse < 0.20, f"async-mapper KF ATE RMSE {rmse * 100:.0f} cm"
