@@ -101,7 +101,8 @@ def build_vocabulary(settings: dict, vocab_path: str | None = None):
 
 def build_system(settings_path: str, use_extractor: bool = True,
                  config_overrides: dict | None = None,
-                 vocab_path: str | None = None):
+                 vocab_path: str | None = None,
+                 viewer_dir: str | None = None):
     """System factory from a settings file (the System constructor analog,
     System.cpp:19-68)."""
     from .ops.orb import OrbExtractor
@@ -130,4 +131,5 @@ def build_system(settings_path: str, use_extractor: bool = True,
     cfg.update(settings.get("System") or {})
     cfg.update(config_overrides or {})
     vocab = build_vocabulary(settings, vocab_path)
-    return System(camera, calib, config=cfg, extractor=extractor, vocab=vocab)
+    return System(camera, calib, config=cfg, extractor=extractor, vocab=vocab,
+                  viewer_dir=viewer_dir)

@@ -204,6 +204,11 @@ def main(argv=None):
                    help="DBoW2 text vocabulary (the ORBvoc.txt positional "
                         "argument of the reference demos); enables "
                         "BoW-gated matching")
+    p.add_argument("--viewer-dir", default=None,
+                   help="enable the live viewer thread: renders tracked "
+                        "frames + map snapshots as PNGs into this directory "
+                        "(the headless analog of the reference's Pangolin "
+                        "window)")
     p.add_argument("--save-state", default=None,
                    help="checkpoint the full session (map + tracker/mapper "
                         "state) to this npz at shutdown")
@@ -212,7 +217,8 @@ def main(argv=None):
                         "streaming frames")
     args = p.parse_args(argv)
 
-    system = build_system(args.settings, vocab_path=args.vocab)
+    system = build_system(args.settings, vocab_path=args.vocab,
+                          viewer_dir=args.viewer_dir)
     if args.load_state:
         system.load_state(args.load_state)
     loaders = {"euroc": euroc_dataset, "kitti": kitti_dataset,

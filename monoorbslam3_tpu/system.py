@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 class System:
     def __init__(self, camera, calib: ImuCalib, config=None, extractor=None,
-                 async_mapper: bool = False, vocab=None):
+                 async_mapper: bool = False, vocab=None,
+                 viewer_dir: str | None = None):
         """vocab: optional ops.vocab.Vocabulary. When set, every frame's
         descriptors are assigned vocabulary node ids (Frame::computeBow,
         Frame.cpp:168-178) and the reference-KF / triangulation matchers
@@ -61,6 +62,15 @@ class System:
         self.tracking = Tracking(camera, calib, self.store, self.problems, cfg)
         self.mapper = LocalMapping(self.store, self.problems, calib, self.tracking, cfg)
         self.tracking.new_kf_callback = self._on_new_kf
+
+        # optional live viewer thread (the reference's Pangolin thread,
+        # System.cpp:60-67, rendered headlessly into viewer_dir)
+        self.viewer = None
+        if viewer_dir is not None:
+            from .view.viewer import Viewer
+
+            self.viewer = Viewer(self.store, calib, viewer_dir,
+                                 fps=cfg.get("viewer_fps", 2.0))
 
         self._async = async_mapper
         self._queue: queue.Queue | None = None
@@ -147,6 +157,10 @@ class System:
         feats = features_from_extractor(out, self.camera, self.extractor.scale_factors)
         frame = make_frame(t, self._assign_bow(feats))
         state = self.tracking.track(frame, imu)
+        if self.viewer is not None:
+            self.viewer.update_frame(
+                image, frame.xy, frame.pt_ids >= 0,
+                f"t={t:.2f} state={state} tracked={frame.n_tracked}")
         if state == tracking_mod.LOST:
             self.request_reset()
         return state
@@ -157,6 +171,10 @@ class System:
             self._do_reset()
         frame = make_frame(t, self._assign_bow(dict(feats)))
         state = self.tracking.track(frame, imu)
+        if self.viewer is not None:
+            self.viewer.update_frame(
+                None, frame.xy, frame.pt_ids >= 0,
+                f"t={t:.2f} state={state} tracked={frame.n_tracked}")
         if state == tracking_mod.LOST:
             self.request_reset()
         return state
@@ -172,6 +190,10 @@ class System:
         self._pending_reset = True
 
     def _do_reset(self):
+        # park the viewer while the map is cleared (Tracking::reset's
+        # requestStop/release handshake, Viewer.cpp:165-196)
+        if self.viewer is not None:
+            self.viewer.request_stop()
         if self._async:
             while not self._queue.empty():
                 try:
@@ -185,11 +207,15 @@ class System:
         self.mapper.recent_points = []
         self.mapper.kf_counter = 0
         self._pending_reset = False
+        if self.viewer is not None:
+            self.viewer.release()
 
     def shutdown(self):
         self._stop = True
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+        if self.viewer is not None:
+            self.viewer.join()  # request_finish + wait (System.cpp:109-119)
         # a pending gravity refinement (IMU initialized but the +3 s
         # refinement window never hit a keyframe before the stream ended)
         # still improves the exported trajectory — run it now, like the
@@ -244,6 +270,8 @@ class System:
         self.store = store
         self.tracking.store = store
         self.mapper.store = store
+        if self.viewer is not None:
+            self.viewer.store = store
         tr, mp = self.tracking, self.mapper
         tr.reset()
         tr.state = T.OK if extra["tracking_state"] in (T.OK, T.RECENTLY_LOST) \

@@ -1,6 +1,8 @@
 """Auxiliary subsystem tests: checkpoint/restore, logging, metrics, view,
 KITTI prep."""
 
+import os
+
 import numpy as np
 
 from monoorbslam3_tpu.models.checkpoint import load_map, save_map
@@ -278,6 +280,8 @@ def test_async_mapper_full_pipeline_accuracy():
         "max_pt": 16384, "kf_max_interval": 0.25, "kf_tracked_ratio": 0.85,
     }, async_mapper=True)
 
+    import time as _time
+
     last_t, states = 0.0, []
     for i, t in enumerate(np.arange(0.0, 4.0, 1.0 / 20.0)):
         obs = world.observe(t, CAM, R_BC, T_BC, noise_px=0.3, flip_bits=4,
@@ -291,6 +295,12 @@ def test_async_mapper_full_pipeline_accuracy():
             imu = np.concatenate([ts[:, None], g, a], axis=1)
         states.append(syst.track_features(t, _make_feats(obs), imu))
         last_t = t
+        # a real 20 Hz camera gives the mapper wall time between frames;
+        # without pacing, a loaded CI machine starves the mapper thread and
+        # the test measures host scheduling, not the pipeline
+        deadline = _time.time() + 0.5
+        while syst._queue.qsize() > 1 and _time.time() < deadline:
+            _time.sleep(0.005)
     states = np.asarray(states)
     syst.shutdown()
 
@@ -304,3 +314,51 @@ def test_async_mapper_full_pipeline_accuracy():
     err = np.linalg.norm((s * kp @ R.T + tt) - gt, axis=1)
     rmse = float(np.sqrt((err**2).mean()))
     assert rmse < 0.20, f"async-mapper KF ATE RMSE {rmse * 100:.0f} cm"
+
+
+def test_live_viewer_thread(tmp_path):
+    """Viewer thread renders snapshots at its fps and honors the
+    stop/release (reset) and finish (shutdown) handshakes
+    (Viewer.cpp:146-196)."""
+    import time
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from monoorbslam3_tpu.models.imu import ImuCalib
+    from monoorbslam3_tpu.view.viewer import Viewer
+
+    store = _populated_store()
+    calib = ImuCalib.create(R_bc=np.eye(3), t_bc=np.zeros(3),
+                            noise_gyro=1e-4, noise_acc=1e-3,
+                            walk_gyro=1e-5, walk_acc=1e-4)
+    v = Viewer(store, calib, str(tmp_path), fps=20.0, map_every=1)
+    img = RNG.uniform(0, 255, (120, 160))
+    xy = RNG.uniform(0, 100, (32, 2)).astype(np.float32)
+    tracked = xy[:, 0] > 50
+    v.update_frame(img, xy, tracked, "OK")
+    deadline = time.time() + 5.0
+    while v._n_rendered < 1 and time.time() < deadline:
+        time.sleep(0.02)
+    assert v._n_rendered >= 1, "viewer never rendered"
+    assert any(f.startswith("frame_") for f in os.listdir(tmp_path))
+    assert any(f.startswith("map_") for f in os.listdir(tmp_path))
+
+    # reset handshake: stop parks the loop; updates are not rendered
+    v.request_stop()
+    deadline = time.time() + 2.0
+    while not v.is_stopped() and time.time() < deadline:
+        time.sleep(0.01)
+    assert v.is_stopped()
+    n0 = v._n_rendered
+    v.update_frame(img, xy, tracked, "STOPPED")
+    time.sleep(0.2)
+    assert v._n_rendered == n0, "viewer rendered while stopped"
+    v.release()
+    deadline = time.time() + 5.0
+    while v._n_rendered == n0 and time.time() < deadline:
+        time.sleep(0.02)
+    assert v._n_rendered > n0, "viewer did not resume after release"
+
+    # finish handshake
+    v.join()
+    assert v.is_finished()
