@@ -154,6 +154,13 @@ class LocalMapping:
         cfg = config or {}
         self.imu_init_kfs = cfg.get("imu_init_kfs", 16)
         self.gravity_refine_delay = cfg.get("gravity_refine_delay", 3.0)
+        # periodic visual-inertial maintenance refinement (see
+        # refine_gravity): 0 disables. 3 s matches the bias-ramp time
+        # constant measured on the circle world (27 -> 272 mm/s^2 ba error
+        # between refinements); a late refinement cannot save tracking
+        # because the poisoned triangulations land first.
+        self.vi_refine_interval = cfg.get("vi_refine_interval", 3.0)
+        self.last_vi_refine = None
         self.triangulate_neighbors = cfg.get("triangulate_neighbors", 8)
         self.window = cfg.get("local_ba_window", 10)
         # graduation gate: cull points still at > 20% relative depth
@@ -210,6 +217,22 @@ class LocalMapping:
         elif (self.imu_state == IMU_INITIALIZED
               and self.imu_init_time is not None
               and self.store.kf_time[k] - self.imu_init_time > self.gravity_refine_delay):
+            self.refine_gravity()
+        elif (self.imu_state == IMU_FINISHED
+              and self.vi_refine_interval > 0
+              and self.last_vi_refine is not None
+              and self.store.kf_time[k] - self.last_vi_refine
+              > self.vi_refine_interval):
+            # periodic maintenance refinement: a residual gravity tilt from
+            # the one-shot init cannot be absorbed by a constant body-frame
+            # acc bias once the body rotates, so the window BA's bias
+            # estimates RAMP (measured: ba error 0.03 -> 0.30 m/s^2 over
+            # 10 s on the circle world) and the inertial edges then corrupt
+            # relative poses, triangulation depths, and finally tracking.
+            # Re-estimating {gravity, scale, shared biases, velocities}
+            # against the full KF set (cheap host f64 solve) arrests the
+            # feedback — the analog of ORB-SLAM3's repeated VI full-BA
+            # passes after initialization.
             self.refine_gravity()
 
         self.cull_keyframes(k)
@@ -447,6 +470,8 @@ class LocalMapping:
             if scale != 1.0:
                 self.problems.full_inertial_optimize(store)
         self.imu_state = IMU_FINISHED
+        ids = store.keyframe_ids()
+        self.last_vi_refine = store.kf_time[ids[-1]] if ids else None
 
     # ------------------------------------------------------------------
 

@@ -50,8 +50,20 @@ class ImuCalib(NamedTuple):
         t_bc = jnp.asarray(t_bc, jnp.float32)
         R_cb = R_bc.T
         t_cb = -R_cb @ t_bc
-        cov_noise = jnp.array([noise_gyro**2] * 3 + [noise_acc**2] * 3, jnp.float32)
-        cov_walk = jnp.array([walk_gyro**2] * 3 + [walk_acc**2] * 3, jnp.float32)
+        # noise/walk parameters are CONTINUOUS densities (the EuRoC yaml
+        # convention: rad/s/sqrt(Hz), (rad/s)/s/sqrt(Hz)); the preintegration
+        # consumes DISCRETE per-sample covariances. Discretization at the
+        # sample rate (the reference's sf = sqrt(freq), Imu.cpp:39-50):
+        #   noise:  sigma_discrete = density * sqrt(freq) -> var * freq
+        #   walk:   increment over dt has var = density^2 * dt = var / freq
+        # Getting this wrong (density used as discrete sigma) makes every
+        # inertial edge freq-times overconfident in variance — measured as
+        # ground-truth states standing at 25-60 sigma of the edge whitening,
+        # which let the window BA crush vision and ramp the bias estimates.
+        cov_noise = jnp.array([noise_gyro**2 * freq] * 3
+                              + [noise_acc**2 * freq] * 3, jnp.float32)
+        cov_walk = jnp.array([walk_gyro**2 / freq] * 3
+                             + [walk_acc**2 / freq] * 3, jnp.float32)
         bg0 = jnp.zeros(3, jnp.float32) if bg0 is None else jnp.asarray(bg0, jnp.float32)
         ba0 = jnp.zeros(3, jnp.float32) if ba0 is None else jnp.asarray(ba0, jnp.float32)
         return ImuCalib(R_bc, t_bc, R_cb, t_cb, cov_noise, cov_walk, bg0, ba0, float(freq))

@@ -204,6 +204,7 @@ class System:
         self.tracking.reset()
         self.mapper.imu_state = 0
         self.mapper.imu_init_time = None
+        self.mapper.last_vi_refine = None
         self.mapper.recent_points = []
         self.mapper.kf_counter = 0
         self._pending_reset = False
