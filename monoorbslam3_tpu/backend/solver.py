@@ -560,7 +560,13 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         # damped reduced system is SPD, and on VI problems its post-Jacobi
         # conditioning defeats the closed-form recursive inverse
         # (inv_spd_blocks15 + iterative refinement both measured to leave
-        # 3x velocity errors) — factorization accuracy is load-bearing
+        # 3x velocity errors) — factorization accuracy is load-bearing.
+        # NEGATIVE RESULT (2026-08-18, v5e): Jacobi-PCG on the real bench
+        # reduced system needs ~128 iterations to reach Cholesky accuracy
+        # (relerr 9e-7) and costs 585 us vs 278 us for this Cholesky solve
+        # standalone (pcg16 198 us but relerr 7.5e-2, pcg64 362 us / 8.5e-4)
+        # — at 480 dims the panel-serial factorization already beats any
+        # Krylov loop whose per-iteration matvec chain is latency-bound.
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
         Sd_n = Sd / d[:, None] / d[None, :]
         L = jnp.linalg.cholesky(Sd_n)
