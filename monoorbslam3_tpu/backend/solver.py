@@ -317,19 +317,43 @@ def _inertial_linearize(problem: BAProblem):
     dP = e.dP + mv[:, 3] + mv[:, 4]
     ev_arg, ep_arg = mv[:, 5], mv[:, 6]
 
-    # level 0/1 rotation chain: eR = exp(JRg dbg)^T (dR^T R1^T R2)
-    M = Rb1w @ s2.R_wb  # R1^T R2; M^T = R21, reused in J1/J2 blocks
-    dRtM = jnp.swapaxes(e.dR, -1, -2) @ M
-    eR = jnp.swapaxes(lie.exp_so3(jrg_dbg), -1, -2) @ dRtM
+    # Rotation chain eR = exp(JRg dbg)^T (dR^T R1^T R2) and its two Jacobian
+    # blocks, restructured so same-dependency-level [E,3,3] products share
+    # ONE stacked batched matmul each (6 dispatches instead of 10 — at SLAM
+    # edge counts each batched 3x3 matmul is pure dispatch latency):
+    R2 = s2.R_wb
+    # lvl0: M = R1^T R2 (M^T = R21, reused in the pose blocks); X = dR^T R1^T
+    MX = jnp.einsum("ecij,ecjk->ecik",
+                    jnp.stack([Rb1w, jnp.swapaxes(e.dR, -1, -2)], 1),
+                    jnp.stack([R2, Rb1w], 1))
+    M, X = MX[:, 0], MX[:, 1]
+    # lvl1: dRtM = X R2 = dR^T R1^T R2 ; Wg^2 for exp/Jr of jrg_dbg
+    Wg = lie.hat(jrg_dbg)
+    S1 = jnp.einsum("ecij,ecjk->ecik", jnp.stack([X, Wg], 1),
+                    jnp.stack([R2, Wg], 1))
+    dRtM, W2g = S1[:, 0], S1[:, 1]
+    Ag, Bg, Cg = lie.exp_jr_coeffs(jrg_dbg)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), Wg.shape)
+    expg = eye3 + Ag[..., None, None] * Wg + Bg[..., None, None] * W2g
+    Jrg = eye3 - Bg[..., None, None] * Wg + Cg[..., None, None] * W2g
+    # lvl2: eR = exp^T dRtM ; P = Jr(JRg dbg) JRg
+    S2 = jnp.einsum("ecij,ecjk->ecik",
+                    jnp.stack([jnp.swapaxes(expg, -1, -2), Jrg], 1),
+                    jnp.stack([dRtM, e.JRg], 1))
+    eR, P = S2[:, 0], S2[:, 1]
     er = lie.log_so3(eR)
     ev = ev_arg - dV
     ep = ep_arg - dP
-
-    invJr = lie.inv_right_jacobian_so3(er)
-    # d er / d dbg1: -invJr eR^T Jr(JRg dbg) JRg — built as a chain whose
-    # last product batches with the -invJr R21 pose block below
-    P = lie.right_jacobian_so3(jrg_dbg) @ e.JRg
-    Q = jnp.swapaxes(eR, -1, -2) @ P
+    # lvl3: Q = eR^T P (the d er/d dbg1 chain, G2oTypes.cpp:358-445);
+    # We^2 for Jr(er)^-1
+    We = lie.hat(er)
+    S3 = jnp.einsum("ecij,ecjk->ecik",
+                    jnp.stack([jnp.swapaxes(eR, -1, -2), We], 1),
+                    jnp.stack([P, We], 1))
+    Q, W2e = S3[:, 0], S3[:, 1]
+    De = lie.inv_jr_coeff(er)
+    invJr = eye3 + 0.5 * We + De[..., None, None] * W2e
+    # lvl4: both -invJr products in one stacked matmul
     ij2 = -invJr[:, None] @ jnp.stack([Q, jnp.swapaxes(M, -1, -2)], 1)
     der_dbg, mijR21 = ij2[:, 0], ij2[:, 1]
 

@@ -229,8 +229,14 @@ def _leaf_segments(gyro, acc, dts, maskf, bg, ba, calib) -> _Seg:
     dt_ = dt[:, None, None]
     dt2_ = (dt * dt)[:, None, None]
 
-    dR = jax.vmap(lie.exp_so3)(w * dt[:, None])          # [N, 3, 3]
-    Jr = jax.vmap(lie.right_jacobian_so3)(w * dt[:, None])
+    # exp and Jr of the same rotation increment share theta/hat/hat^2
+    wdt = w * dt[:, None]
+    Aw, Bw, Cw = lie.exp_jr_coeffs(wdt)
+    Wh = lie.hat(wdt)
+    W2h = Wh @ Wh
+    eye_n = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), Wh.shape)
+    dR = eye_n + Aw[:, None, None] * Wh + Bw[:, None, None] * W2h  # [N, 3, 3]
+    Jr = eye_n - Bw[:, None, None] * Wh + Cw[:, None, None] * W2h
     a_hat = jax.vmap(lie.hat)(a)
 
     N = gyro.shape[0]

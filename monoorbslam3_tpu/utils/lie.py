@@ -43,12 +43,38 @@ def _theta_terms(w: jnp.ndarray):
     return theta2, safe_theta, small
 
 
+def exp_jr_coeffs(w: jnp.ndarray):
+    """Shared Rodrigues coefficients (A, B, C) of w, each [...]:
+    exp(w) = I + A hat(w) + B hat(w)^2 ; Jr(w) = I - B hat(w) + C hat(w)^2.
+    Exposed separately so callers that already hold hat(w) / hat(w)^2 (e.g.
+    stacked-matmul chains where every batched 3x3 product is a dispatch) can
+    assemble both maps without recomputing the trig terms."""
+    theta2, theta, small = _theta_terms(w)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, sin_t / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - cos_t) / safe_t2)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - sin_t) / (safe_t2 * theta))
+    return A, B, C
+
+
+def inv_jr_coeff(w: jnp.ndarray) -> jnp.ndarray:
+    """D(w) [...] with Jr(w)^-1 = I + 0.5 hat(w) + D hat(w)^2 (same contract
+    as `exp_jr_coeffs`: the caller supplies the hat powers)."""
+    theta2, theta, small = _theta_terms(w)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    return jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / safe_t2 - (1.0 + cos_t) / jnp.where(small, 1.0, 2.0 * theta * sin_t),
+    )
+
+
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues exponential map, [..., 3] -> [..., 3, 3]."""
-    theta2, theta, small = _theta_terms(w)
-    # A = sin(t)/t, B = (1 - cos(t))/t^2 with Taylor fallbacks.
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    A, B, _ = exp_jr_coeffs(w)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -91,10 +117,7 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 
 def right_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Right Jacobian Jr(w): [..., 3] -> [..., 3, 3]."""
-    theta2, theta, small = _theta_terms(w)
-    safe_t2 = jnp.where(small, 1.0, theta2)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (safe_t2 * theta))
+    _, B, C = exp_jr_coeffs(w)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -103,14 +126,7 @@ def right_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 def inv_right_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Inverse right Jacobian Jr(w)^-1: [..., 3] -> [..., 3, 3]."""
-    theta2, theta, small = _theta_terms(w)
-    safe_t2 = jnp.where(small, 1.0, theta2)
-    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-    D = jnp.where(
-        small,
-        1.0 / 12.0 + theta2 / 720.0,
-        1.0 / safe_t2 - (1.0 + cos_t) / jnp.where(small, 1.0, 2.0 * theta * sin_t),
-    )
+    D = inv_jr_coeff(w)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
