@@ -362,3 +362,42 @@ def test_live_viewer_thread(tmp_path):
     # finish handshake
     v.join()
     assert v.is_finished()
+
+
+def test_plot_comparison_cli(tmp_path):
+    """plot_results.py analog: Sim(3)-aligns each estimate to truth, reports
+    ATE + scale, renders the overlay, saves aligned trajectories."""
+    from monoorbslam3_tpu.evaluation import plots
+
+    t = np.arange(0.0, 10.0, 0.1)
+    p_gt = np.stack([np.cos(t), np.sin(t), 0.1 * t], -1)
+
+    def write_tum(path, tt, pp):
+        rows = np.concatenate(
+            [tt[:, None], pp, np.tile([0, 0, 0, 1.0], (len(tt), 1))], 1)
+        np.savetxt(path, rows, fmt="%.6f")
+
+    gt = tmp_path / "gt.txt"
+    write_tum(gt, t, p_gt)
+    # estimate A: scaled + rotated + mm noise — alignment must recover it
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    p_a = (2.5 * (R @ p_gt.T)).T + np.array([3.0, -1.0, 0.5]) \
+        + RNG.normal(0, 1e-3, p_gt.shape)
+    est_a = tmp_path / "ours.txt"
+    write_tum(est_a, t, p_a)
+    # estimate B: truth + 5 cm noise
+    est_b = tmp_path / "other.txt"
+    write_tum(est_b, t, p_gt + RNG.normal(0, 0.05, p_gt.shape))
+
+    out = tmp_path / "cmp.png"
+    results = plots.main([str(gt), str(est_a), str(est_b), "-o", str(out),
+                          "--labels", "ours", "other",
+                          "--save-aligned", str(tmp_path / "aligned")])
+    by = dict(results)
+    assert by["ours"]["rmse"] < 0.01
+    assert abs(by["ours"]["scale"] - 1 / 2.5) < 0.01
+    assert 0.02 < by["other"]["rmse"] < 0.1
+    assert out.stat().st_size > 0
+    assert (tmp_path / "aligned" / "ours_aligned.txt").stat().st_size > 0
