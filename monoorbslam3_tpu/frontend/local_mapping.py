@@ -22,6 +22,7 @@ or from a host thread — the reference's queue boundary, LocalMapping.cpp:
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from functools import partial
 
 import numpy as np
@@ -153,6 +154,14 @@ class LocalMapping:
         self.tracking = tracking
         cfg = config or {}
         self.imu_init_kfs = cfg.get("imu_init_kfs", 16)
+        # minimum trajectory time span before the inertial init fires. The
+        # reference's KF-count-only gate (id > 15, LocalMapping.cpp:57-60)
+        # implicitly assumes its KF cadence (~0.2-0.5 s); with the idle-
+        # mapper policy inserting KFs every 2-3 frames, 11 KFs can span
+        # only ~1.3 s — too little accelerometer excitation, and the init
+        # lands on a bad scale/gravity (measured: tracking collapses within
+        # 1 s of the gauge rewrite on the circle-image world)
+        self.imu_init_min_span = cfg.get("imu_init_min_span", 2.0)
         self.gravity_refine_delay = cfg.get("gravity_refine_delay", 3.0)
         # periodic visual-inertial maintenance refinement (see
         # refine_gravity): 0 disables. 3 s matches the bias-ramp time
@@ -174,6 +183,9 @@ class LocalMapping:
         self.recent_points: list[tuple[int, int]] = []  # (pt_id, birth_kf_count)
         self.kf_counter = 0
         self.last_info = {}
+        # map_update_mutex analog, set by System (same RLock the tracker
+        # holds across its iteration); the device BA solve runs unlocked
+        self.map_lock = nullcontext()
 
     # ------------------------------------------------------------------
 
@@ -187,24 +199,31 @@ class LocalMapping:
         double the map's p90 point error per step. We therefore refine the
         window (including the new KF pose) FIRST, triangulate from the
         refined pose, then run a short polish BA over the new points."""
+        lock = self.map_lock
         self.kf_counter += 1
-        self.process_new_keyframe(k)
-        if initial:
-            return
-        self.cull_map_points()
+        with lock:
+            self.process_new_keyframe(k)
+            if initial:
+                return
+            self.cull_map_points()
 
         def run_ba(n_iters):
             if self.store.n_keyframes() < 3:
                 return {}
+            # run_window_ba acquires the lock for build + write-back only;
+            # the device solve itself runs unlocked (the reference's g2o
+            # runs outside map_update_mutex too, recovering under it)
             if self.imu_state == IMU_NOT_INIT:
                 return self.problems.local_bundle_adjustment(
-                    self.store, k, window=self.window, n_iters=n_iters)
+                    self.store, k, window=self.window, n_iters=n_iters,
+                    lock=lock)
             return self.problems.local_full_bundle_adjustment(
-                self.store, window=self.window, n_iters=n_iters)
+                self.store, window=self.window, n_iters=n_iters, lock=lock)
 
         self.last_info = run_ba(8)
-        n_new = self.create_new_map_points(k)
-        self.fuse_neighbors(k)
+        with lock:
+            n_new = self.create_new_map_points(k)
+            self.fuse_neighbors(k)
         if n_new:
             self.last_info = run_ba(4)  # polish freshly triangulated points
 
@@ -212,12 +231,15 @@ class LocalMapping:
         # on KeyFrame::id (LocalMapping.cpp:57-60), so culling must not
         # delay inertial initialization
         if (self.imu_state == IMU_NOT_INIT
-                and self.store._next_kf_slot > self.imu_init_kfs):
-            self.initialize_imu()
+                and self.store.kf_created_total > self.imu_init_kfs
+                and self._kf_span() >= self.imu_init_min_span):
+            with lock:
+                self.initialize_imu()
         elif (self.imu_state == IMU_INITIALIZED
               and self.imu_init_time is not None
               and self.store.kf_time[k] - self.imu_init_time > self.gravity_refine_delay):
-            self.refine_gravity()
+            with lock:
+                self.refine_gravity()
         elif (self.imu_state == IMU_FINISHED
               and self.vi_refine_interval > 0
               and self.last_vi_refine is not None
@@ -233,9 +255,11 @@ class LocalMapping:
             # against the full KF set (cheap host f64 solve) arrests the
             # feedback — the analog of ORB-SLAM3's repeated VI full-BA
             # passes after initialization.
-            self.refine_gravity()
+            with lock:
+                self.refine_gravity()
 
-        self.cull_keyframes(k)
+        with lock:
+            self.cull_keyframes(k)
 
     # ------------------------------------------------------------------
 
@@ -411,6 +435,13 @@ class LocalMapping:
             attached = set(pids_k.tolist())
             pids_n = np.asarray([p for p in pids_n if p not in attached], np.int64)
             self._fuse_points_into_kf(pids_n, k)
+
+    def _kf_span(self) -> float:
+        """Time span covered by the surviving keyframe set."""
+        ids = self.store.keyframe_ids()
+        if len(ids) < 2:
+            return 0.0
+        return float(self.store.kf_time[ids[-1]] - self.store.kf_time[ids[0]])
 
     def _median_depth(self, k: int) -> float:
         store = self.store

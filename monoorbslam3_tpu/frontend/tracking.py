@@ -37,6 +37,9 @@ def _predict_deltas(pre, bg, ba):
             pre.delta_position(bg, ba))
 
 
+_rot_filter = jax.jit(matching.rotation_consistency_mask)
+
+
 @jax.jit
 def _project_points(R_wb, t_wb, R_cb, t_cb, xyz, camera):
     """Batched world->pixel projection + visibility, one device call."""
@@ -75,9 +78,30 @@ class Tracking:
         self.init_min_features = cfg.get("init_min_features", 200)
         self.init_min_matches = cfg.get("init_min_matches", 80)
         self.min_track_inliers = cfg.get("min_track_inliers", 12)
-        self.kf_tracked_ratio = cfg.get("kf_tracked_ratio", 0.75)
+        # keyframe policy (needNewKeyFrame, Tracking.cpp:539-576): the
+        # reference's absolute thresholds (350 "many", 75 "weak") assume
+        # ~1000 features/frame; defaults scale with the feature capacity
+        self.kf_tracked_ratio = cfg.get("kf_tracked_ratio", 0.9)
+        self.kf_ref_ratio_many = cfg.get("kf_ref_ratio_many", 0.75)
+        self.kf_many_inliers = cfg.get("kf_many_inliers",
+                                       int(round(0.35 * self.n_feat)))
+        self.kf_weak_inliers = cfg.get("kf_weak_inliers",
+                                       max(40, int(round(0.075 * self.n_feat))))
+        self.kf_max_frames = cfg.get("kf_max_frames", 10)
+        self.kf_min_frames = cfg.get("kf_min_frames", 2)
         self.kf_max_interval = cfg.get("kf_max_interval", 0.5)
         self.kf_min_interval = cfg.get("kf_min_interval", 0.1)
+        # coarse-mode dispatch: below this inlier count the post-IMU-init
+        # tracker prefers trackLastKeyFrame over trackLastFrame
+        # (Tracking.cpp:112-121, threshold 100 at ~1000 features)
+        self.coarse_weak_inliers = cfg.get(
+            "coarse_weak_inliers", min(100, max(30, self.n_feat // 10)))
+        # matching parity gates (toggleable)
+        self.rotation_check = cfg.get("rotation_check", True)
+        # local-map candidate view-angle gate: drop points seen >60 deg off
+        # their mean observation direction (Frame::isInFrustum viewCos>0.5,
+        # Frame.cpp:129-166); <= -1 disables
+        self.view_cos_gate = cfg.get("view_cos_gate", 0.5)
         self.local_pt_cap = cfg.get("local_pt_cap", 4096)
         self.lost_timeout = cfg.get("lost_timeout", 3.0)
         self.scale_factors = cfg.get(
@@ -95,6 +119,13 @@ class Tracking:
         self.velocity_rel = None  # motion model: T_last->T_cur in camera frame
         self.lost_since = None
         self.new_kf_callback = None  # set by System: receives new KF id
+        # mapper-idle probe (LocalMapping::acceptKeyFrames analog,
+        # Tracking.cpp:543): set by System; None = synchronous mapper,
+        # always idle by construction
+        self.mapper_idle = None
+        # queue-capacity probe: False vetoes ALL keyframe insertion (the
+        # backpressure the reference's unbounded queue lacks)
+        self.mapper_accepts = None
         self.frames_since_kf = 0
         self.kf_tracked_count = 1
         # IMU timeline anchor for the first frame after a checkpoint resume
@@ -347,12 +378,32 @@ class Tracking:
 
         ok = False
         if self.state == OK:
-            if self.last_frame is not None and self.last_frame.n_tracked > 0:
+            last_strong = (self.last_frame is not None
+                           and self.last_frame.n_tracked > 0)
+            if self.imu_ready:
+                # post-IMU-init dispatch (Tracking.cpp:111-121): a weak last
+                # frame routes straight to the last KEYFRAME's points (they
+                # survived mapping/BA); otherwise last frame with a last-KF
+                # fallback after a re-prediction
+                if (last_strong
+                        and self.last_frame.n_tracked >= self.coarse_weak_inliers):
+                    ok = self._match_against_last(frame)
+                if not ok:
+                    frame.state = self._predict_state(frame)
+                    ok = self._match_against_last_kf(frame)
+            elif last_strong:
                 ok = self._match_against_last(frame)
             if not ok:
+                frame.state = self._predict_state(frame)
                 ok = self._match_against_ref_kf(frame)
-        else:  # RECENTLY_LOST: IMU-only prediction then local map
-            ok = self.imu_ready
+        else:  # RECENTLY_LOST: IMU prediction, last-KF reattach, local map
+            if self.imu_ready:
+                ok = self._match_against_last_kf(frame)
+                if not ok:
+                    # the IMU-only prediction alone carries into the
+                    # wide-radius local-map re-capture (Tracking.cpp:123-126)
+                    frame.state = self._predict_state(frame)
+                    ok = True
 
         # the local map is the self-healing stage: try it even when the
         # coarse stages failed (the wide-radius projection search can
@@ -395,20 +446,28 @@ class Tracking:
 
     # -- matching stages ------------------------------------------------
 
-    def _candidate_points(self, pt_ids):
-        """Pad candidate point data to the feature capacity."""
+    def _candidate_points(self, pt_ids, feat_angles=None):
+        """Pad candidate point data to the feature capacity. When
+        `feat_angles` (per-feature keypoint angles aligned with pt_ids) is
+        given, also returns each candidate's source-view orientation for
+        the rotation-consistency histogram (SearchByProjection applies it
+        frame->frame and KF->frame, ORBMatcher.cpp:329-345)."""
         N = self.n_feat
-        sel = pt_ids[pt_ids >= 0][:N]
+        src = np.nonzero(pt_ids >= 0)[0][:N]
+        sel = pt_ids[src]
         xyz = np.zeros((N, 3), np.float32)
         desc = np.zeros((N, 8), np.uint32)
         valid = np.zeros(N, bool)
+        ang = np.zeros(N, np.float32)
         n = len(sel)
         xyz[:n] = self.store.pt_xyz[sel]
         desc[:n] = self.store.pt_desc[sel]
         valid[:n] = self.store.pt_valid[sel]
+        if feat_angles is not None:
+            ang[:n] = feat_angles[src]
         ids = np.full(N, -1, np.int64)
         ids[:n] = sel
-        return xyz, desc, valid, ids
+        return xyz, desc, valid, ids, ang
 
     def _project(self, state: KfState, xyz):
         uv, ok = _project_points(
@@ -419,7 +478,7 @@ class Tracking:
         return np.asarray(uv), np.asarray(ok)
 
     def _match_points_to_frame(self, frame: Frame, xyz, desc, valid, ids,
-                               radius, max_dist, ratio=0.9):
+                               radius, max_dist, ratio=0.9, src_angles=None):
         uv, ok = self._project(frame.state, xyz)
         idx, dist = projected_match(
             jnp.asarray(desc), jnp.asarray(frame.desc),
@@ -428,6 +487,14 @@ class Tracking:
             valid_a=jnp.asarray(ok & valid), valid_b=jnp.asarray(frame.valid),
             max_dist=max_dist, ratio=ratio,
         )
+        if src_angles is not None and self.rotation_check:
+            # rotation-consistency histogram over the matched pairs
+            # (ORBMatcher.cpp:329-345, 594-622)
+            idx = jnp.asarray(idx)
+            safe = jnp.maximum(idx, 0)
+            keep = _rot_filter(jnp.asarray(src_angles),
+                               jnp.asarray(frame.angle), safe, idx >= 0)
+            idx = jnp.where(keep, idx, -1)
         idx = np.asarray(idx)
         frame.pt_ids[:] = -1
         hit = idx >= 0
@@ -435,16 +502,42 @@ class Tracking:
         return int(hit.sum())
 
     def _match_against_last(self, frame: Frame) -> bool:
-        """trackLastFrame (Tracking.cpp:284-343): project last frame's points.
+        """trackLastFrame (Tracking.cpp:284-314): project last frame's points.
         On a weak first pass the search radius is doubled (the reference's
         2x-radius retry in SearchByProjection)."""
-        xyz, desc, valid, ids = self._candidate_points(self.last_frame.pt_ids)
+        xyz, desc, valid, ids, ang = self._candidate_points(
+            self.last_frame.pt_ids, self.last_frame.angle)
         radius = np.full(self.n_feat, 15.0, np.float32)
         n = self._match_points_to_frame(frame, xyz, desc, valid, ids, radius,
-                                        max_dist=matching.TH_HIGH)
+                                        max_dist=matching.TH_HIGH,
+                                        src_angles=ang)
         if n < 2 * self.min_track_inliers:
             n = self._match_points_to_frame(frame, xyz, desc, valid, ids,
-                                            radius * 2.0, max_dist=matching.TH_HIGH)
+                                            radius * 2.0, max_dist=matching.TH_HIGH,
+                                            src_angles=ang)
+        if n < self.min_track_inliers:
+            return False
+        return self._optimize_frame_pose(frame) >= self.min_track_inliers
+
+    def _match_against_last_kf(self, frame: Frame) -> bool:
+        """trackLastKeyFrame (Tracking.cpp:316-343): projection match
+        against the last KEYFRAME's mapped points — the coarse mode the
+        reference prefers post-IMU-init whenever the last frame is weak
+        (its tracked set is small or the frame is RECENTLY_LOST), because
+        the KF's points survived mapping/BA while the frame's may not."""
+        k = self.last_kf_id
+        if k < 0:
+            return False
+        xyz, desc, valid, ids, ang = self._candidate_points(
+            self.store.kf_feat_pt[k], self.store.kf_feat_angle[k])
+        radius = np.full(self.n_feat, 15.0, np.float32)
+        n = self._match_points_to_frame(frame, xyz, desc, valid, ids, radius,
+                                        max_dist=matching.TH_HIGH,
+                                        src_angles=ang)
+        if n < 2 * self.min_track_inliers:
+            n = self._match_points_to_frame(frame, xyz, desc, valid, ids,
+                                            radius * 2.0, max_dist=matching.TH_HIGH,
+                                            src_angles=ang)
         if n < self.min_track_inliers:
             return False
         return self._optimize_frame_pose(frame) >= self.min_track_inliers
@@ -459,7 +552,8 @@ class Tracking:
         if k < 0:
             return False
         feat_pt = self.store.kf_feat_pt[k]
-        xyz, desc, valid, ids = self._candidate_points(feat_pt)
+        xyz, desc, valid, ids, ang = self._candidate_points(
+            feat_pt, self.store.kf_feat_angle[k])
         # candidate groups, aligned with _candidate_points' feature order
         groups_kf = np.full(self.n_feat, -1, np.int32)
         feat_sel = np.nonzero(feat_pt >= 0)[0][: self.n_feat]
@@ -473,6 +567,12 @@ class Tracking:
             valid_a=jnp.asarray(valid), valid_b=jnp.asarray(frame.valid),
             max_dist=matching.TH_LOW, ratio=0.75,
         )
+        if self.rotation_check:
+            # SearchByBow's orientation-consistency check (ORBMatcher.cpp:186-199)
+            idx = jnp.asarray(idx)
+            keep = _rot_filter(jnp.asarray(ang), jnp.asarray(frame.angle),
+                               jnp.maximum(idx, 0), idx >= 0)
+            idx = jnp.where(keep, idx, -1)
         idx = np.asarray(idx)
         frame.pt_ids[:] = -1
         hit = idx >= 0
@@ -520,6 +620,15 @@ class Tracking:
             -np.asarray(self.calib.R_cb).T @ np.asarray(self.calib.t_cb)
         )
         dist = np.linalg.norm(xyz - center, axis=1)
+        if self.view_cos_gate > -1.0:
+            # view-angle gate (Frame::isInFrustum, Frame.cpp:129-166): a
+            # candidate seen far off its mean observation direction cannot
+            # look like its descriptor — drop it before matching
+            ray = (xyz - center) / np.maximum(dist, 1e-9)[:, None]
+            normal = store.pt_normal[np.maximum(ids, 0)]
+            has_normal = np.linalg.norm(normal, axis=1) > 0.5
+            view_cos = (ray * normal).sum(1)
+            ok = ok & (~has_normal | (view_cos > self.view_cos_gate))
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(dist > 1e-6, store.pt_max_dist[np.maximum(ids, 0)] / np.maximum(dist, 1e-6), 1.0)
         level_pred = np.clip(
@@ -626,15 +735,49 @@ class Tracking:
     # keyframe policy (Tracking.cpp:539-588)
     # ------------------------------------------------------------------
 
+    def _num_ref_matches(self, min_obs: int) -> int:
+        """Reference-KF tracked map points with >= min_obs observations
+        (KeyFrame::getNumTrackedMapPoint, used by needNewKeyFrame)."""
+        if self.ref_kf < 0:
+            return 0
+        pids = self.store.kf_feat_pt[self.ref_kf]
+        pids = pids[pids >= 0]
+        good = self.store.pt_valid[pids] & (self.store.pt_n_obs[pids] >= min_obs)
+        return int(good.sum())
+
     def _need_new_keyframe(self, frame: Frame) -> bool:
+        """needNewKeyFrame (Tracking.cpp:539-576): the reference's
+        condition set — c1a max-frames, c1b min-frames + mapper idle,
+        c2 weak vs the reference KF's good points, c3 max time, c4 weak
+        absolute count — gated by mapper idleness (backpressure: a busy
+        async mapper vetoes insertion; the bounded-iteration LM removes
+        the need for the reference's interruptBA). Deviation: the
+        RECENTLY_LOST branch of c4 is unreachable here because this
+        policy only runs on tracked frames."""
         dt = frame.time - self.last_kf_time
         if dt < self.kf_min_interval:
             return False
         if frame.n_tracked < self.min_track_inliers:
             return False
-        weak = frame.n_tracked < self.kf_tracked_ratio * max(self.kf_tracked_count, 1)
-        timeout = dt >= self.kf_max_interval
-        return weak or timeout
+        if self.mapper_accepts is not None and not self.mapper_accepts():
+            return False  # queue full: hard backpressure
+        idle = self.mapper_idle() if self.mapper_idle is not None else True
+        min_obs = 3 if self.store.n_keyframes() > 2 else 2
+        n_ref = self._num_ref_matches(min_obs)
+        ratio = (self.kf_ref_ratio_many
+                 if frame.n_tracked > self.kf_many_inliers
+                 else self.kf_tracked_ratio)
+        c1a = self.frames_since_kf >= self.kf_max_frames
+        c1b = self.frames_since_kf >= self.kf_min_frames and idle
+        c2 = frame.n_tracked < ratio * n_ref
+        c3 = dt >= self.kf_max_interval
+        c4 = self.min_track_inliers < frame.n_tracked < self.kf_weak_inliers
+        if ((c1a or c1b) and c2) or c3 or c4:
+            # a busy mapper vetoes all but the hard triggers (the queue is
+            # bounded; losing a weak-trigger KF is the reference's
+            # interruptBA-and-skip path, Tracking.cpp:565-572)
+            return idle or c3 or c4
+        return False
 
     def _create_keyframe(self, frame: Frame):
         store = self.store

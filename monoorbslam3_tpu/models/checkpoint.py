@@ -19,7 +19,7 @@ _ARRAY_FIELDS = [
     "kf_valid", "kf_time", "kf_R", "kf_t", "kf_v", "kf_bg", "kf_ba",
     "kf_parent", "kf_feat_xy", "kf_feat_level", "kf_feat_angle",
     "kf_feat_desc", "kf_feat_valid", "kf_feat_sigma2", "kf_feat_pt",
-    "kf_prior_inv_sigma",
+    "kf_feat_group", "kf_prior_inv_sigma",
     "pt_valid", "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist",
     "pt_max_dist", "pt_sigma_z", "pt_first_kf", "pt_visible", "pt_found",
     "pt_obs_kf", "pt_obs_feat", "pt_n_obs",
@@ -34,7 +34,9 @@ def save_map(store: MapStore, path: str, extra: dict | None = None):
         "n_feat": store.n_feat, "max_obs": store.max_obs,
         "kf_order": store._kf_order,
         "free_pt": store._free_pt,
+        "free_kf": store._free_kf,
         "next_kf_slot": store._next_kf_slot,
+        "kf_created_total": store.kf_created_total,
         "version": store.version,
         "extra": extra or {},
     }
@@ -64,7 +66,10 @@ def load_map(path: str) -> tuple[MapStore, dict]:
         getattr(store, name)[...] = data[name]
     store._kf_order = list(meta["kf_order"])
     store._free_pt = list(meta["free_pt"])
+    store._free_kf = list(meta.get("free_kf", []))
     store._next_kf_slot = meta["next_kf_slot"]
+    store.kf_created_total = meta.get("kf_created_total",
+                                      meta["next_kf_slot"])
     store.version = meta["version"]
 
     off = 0

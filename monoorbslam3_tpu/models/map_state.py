@@ -16,9 +16,13 @@ by `kf_parent` (closest covisible predecessor), reassigned on culling.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .imu import ImuBuffer
+
+log = logging.getLogger("monoorbslam3_tpu.map")
 
 
 class MapStore:
@@ -77,7 +81,12 @@ class MapStore:
 
         self._kf_order: list[int] = []  # insertion order of valid KF slots
         self._free_pt: list[int] = list(range(max_pt - 1, -1, -1))
+        self._free_kf: list[int] = []  # culled slots, recycled like points
         self._next_kf_slot = 0
+        # monotonic creation counter (the reference's KeyFrame::id): slot
+        # ids recycle, so anything keyed on "how many KFs ever existed"
+        # (e.g. the IMU-init trigger, LocalMapping.cpp:57-60) uses this
+        self.kf_created_total = 0
         self.version = 0  # map-change epoch (Map.cpp:126-144 analog)
 
     # ------------------------------------------------------------------
@@ -95,12 +104,43 @@ class MapStore:
         Map.cpp:42-53)."""
         return self._kf_order[-n:]
 
+    def _alloc_kf_slot(self) -> int:
+        """Fresh slot, recycled culled slot, or — at hard capacity — evict
+        the least-connected old KF (graceful degradation; the reference's
+        map grows unboundedly, Map.h:62-63, so it never faces this)."""
+        if self._next_kf_slot < self.max_kf:
+            k = self._next_kf_slot
+            self._next_kf_slot += 1
+            return k
+        if self._free_kf:
+            return self._free_kf.pop()
+        return self._evict_for_slot()
+
+    def _evict_for_slot(self) -> int:
+        """At capacity: cull the weakest old keyframe to free a slot.
+        Victims exclude the gauge-anchoring first KF and the newest 8
+        (the local-BA window + preintegration chain); weakest = fewest
+        attached map-point observations, ties to oldest."""
+        candidates = self._kf_order[1:-8] or self._kf_order[1:-1]
+        assert candidates, "keyframe capacity too small to evict"
+        n_obs = np.array([(self.kf_feat_pt[k] >= 0).sum() for k in candidates])
+        victim = candidates[int(np.argmin(n_obs))]
+        log.warning("keyframe capacity %d reached: evicting KF slot %d "
+                    "(%d observations)", self.max_kf, victim, n_obs.min())
+        self.remove_keyframe(victim)
+        return self._free_kf.pop()
+
     def add_keyframe(self, time, R_wb, t_wb, v, bg, ba, features: dict,
                      prior_inv_sigma=None) -> int:
-        if self._next_kf_slot >= self.max_kf:
-            raise RuntimeError("keyframe capacity exceeded")
-        k = self._next_kf_slot
-        self._next_kf_slot += 1
+        k = self._alloc_kf_slot()
+        self.kf_created_total += 1
+        # clear any recycled-slot residue not overwritten below (stale
+        # feature rows beyond nf are masked by kf_feat_valid, but clear
+        # them anyway so no code path can read a dead KF's features)
+        self.kf_feat_valid[k] = False
+        self.kf_feat_group[k] = -1
+        self.kf_prior_inv_sigma[k] = 0.0
+        self.kf_parent[k] = -1
         self.kf_valid[k] = True
         self.kf_time[k] = time
         self.kf_R[k] = R_wb
@@ -149,6 +189,7 @@ class MapStore:
         # reassign children's parent to this KF's parent
         children = np.nonzero(self.kf_parent == k)[0]
         self.kf_parent[children] = self.kf_parent[k]
+        self._free_kf.append(k)
         self.version += 1
 
     def kf_pose_cw(self, k: int, R_cb, t_cb):

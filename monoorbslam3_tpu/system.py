@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -77,8 +78,22 @@ class System:
         self._thread = None
         self._stop = False
         self._pending_reset = False
+        # the map_update_mutex analog (Map.h:59, Tracking.cpp:74): a coarse
+        # reentrant lock held by the tracker across its whole iteration and
+        # by the mapper across every map-mutating stage — the device BA
+        # solve itself runs unlocked (problems.run_window_ba re-acquires for
+        # the write-back, like the reference's BA recovery under the mutex,
+        # Optimize.cpp:925,1264). Sync mode: same thread, RLock is free.
+        self._map_lock = threading.RLock()
+        self.mapper.map_lock = self._map_lock
         if async_mapper:
-            self._queue = queue.Queue()
+            # bounded queue (the reference's is unbounded but its KF policy
+            # gates on mapper idleness; ours vetoes insertion when full)
+            self._queue = queue.Queue(maxsize=cfg.get("mapper_queue_cap", 4))
+            self._mapper_busy = False
+            self.tracking.mapper_idle = (
+                lambda: not self._mapper_busy and self._queue.empty())
+            self.tracking.mapper_accepts = lambda: not self._queue.full()
             self._thread = threading.Thread(target=self._mapper_loop, daemon=True)
             self._thread.start()
 
@@ -134,7 +149,12 @@ class System:
                 k, initial = self._queue.get(timeout=0.05)
             except queue.Empty:
                 continue
-            self.mapper.process(k, initial=initial)
+            self._mapper_busy = True
+            try:
+                self.mapper.process(k, initial=initial)
+            finally:
+                self._mapper_busy = False
+                self._queue.task_done()
 
     # ------------------------------------------------------------------
 
@@ -156,7 +176,8 @@ class System:
         out = self.extractor(image)
         feats = features_from_extractor(out, self.camera, self.extractor.scale_factors)
         frame = make_frame(t, self._assign_bow(feats))
-        state = self.tracking.track(frame, imu)
+        with self._map_lock:  # Tracking.cpp:74 map_update_mutex
+            state = self.tracking.track(frame, imu)
         if self.viewer is not None:
             self.viewer.update_frame(
                 image, frame.xy, frame.pt_ids >= 0,
@@ -170,7 +191,8 @@ class System:
         if self._pending_reset:
             self._do_reset()
         frame = make_frame(t, self._assign_bow(dict(feats)))
-        state = self.tracking.track(frame, imu)
+        with self._map_lock:  # Tracking.cpp:74 map_update_mutex
+            state = self.tracking.track(frame, imu)
         if self.viewer is not None:
             self.viewer.update_frame(
                 None, frame.xy, frame.pt_ids >= 0,
@@ -198,20 +220,29 @@ class System:
             while not self._queue.empty():
                 try:
                     self._queue.get_nowait()
+                    self._queue.task_done()
                 except queue.Empty:
                     break
-        self.store.reset()
-        self.tracking.reset()
-        self.mapper.imu_state = 0
-        self.mapper.imu_init_time = None
-        self.mapper.last_vi_refine = None
-        self.mapper.recent_points = []
-        self.mapper.kf_counter = 0
+        with self._map_lock:  # never clear the map under a running mapper stage
+            self.store.reset()
+            self.tracking.reset()
+            self.mapper.imu_state = 0
+            self.mapper.imu_init_time = None
+            self.mapper.last_vi_refine = None
+            self.mapper.recent_points = []
+            self.mapper.kf_counter = 0
         self._pending_reset = False
         if self.viewer is not None:
             self.viewer.release()
 
     def shutdown(self):
+        # finish the mapper queue before stopping (System::ShutDown
+        # spin-waits for both threads, System.cpp:109-119)
+        if self._async and self._thread is not None:
+            deadline = time.time() + 10.0
+            while ((not self._queue.empty() or self._mapper_busy)
+                   and time.time() < deadline):
+                time.sleep(0.01)
         self._stop = True
         if self._thread is not None:
             self._thread.join(timeout=2.0)

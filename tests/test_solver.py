@@ -433,6 +433,7 @@ def test_inertial_init_recovers_scale_under_visual_noise():
 
     st = Store()
     st.kf_imu = {}
+    st.kf_time = times
     st.kf_bg = np.zeros((K, 3), np.float32)
     st.kf_ba = np.zeros((K, 3), np.float32)
     st.kf_v = {}
