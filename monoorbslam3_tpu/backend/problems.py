@@ -210,11 +210,20 @@ class Problems:
 
     def __init__(self, camera, calib: ImuCalib,
                  local_k: int = 32, local_p: int = 2048, local_o: int = 6144,
-                 imu_cap: int = 512):
+                 imu_cap: int = 512, mesh=None):
+        """mesh: optional jax.sharding.Mesh. When set, every window BA
+        solves through the DISTRIBUTED Schur pipeline (parallel/
+        sharded_ba.py): landmarks + observations sharded by point across
+        the mesh, the reduced camera system psum'd over ICI. The single-
+        chip schur_ba stays the default (one chip is faster than one
+        chip + collectives for windows this size; the mesh path is for
+        multi-chip scale-out)."""
         self.camera = camera
         self.calib = calib
         self.local_k, self.local_p, self.local_o = local_k, local_p, local_o
         self.imu_cap = imu_cap
+        self.mesh = mesh
+        self._chi2_jit = None
         from ..models.imu import preintegrate_tree
 
         self._preint_batch = jax.jit(jax.vmap(
@@ -458,12 +467,42 @@ class Problems:
                 opt_points=opt_points, pose_dofs=pose_dofs, vb_dofs=vb_dofs,
                 priors=priors,
             )
-        kf, pts, info = schur_ba(problem, self.camera, self.calib.R_cb,
-                                 self.calib.t_cb, n_iters=n_iters)
+        if self.mesh is not None:
+            kf, pts, info = self._solve_sharded(problem, n_iters)
+        else:
+            kf, pts, info = schur_ba(problem, self.camera, self.calib.R_cb,
+                                     self.calib.t_cb, n_iters=n_iters)
         with lock:
             return self._write_back_ba(
                 store, kf, pts, info, ids, pids, obs_kf_l, obs_pt_l,
                 opt_ids, opt_points, vb_dofs, remove_outliers)
+
+    def _solve_sharded(self, problem, n_iters):
+        """Window BA on the device mesh: shard by point, run the
+        distributed LM, then price per-observation chi2 (for outlier
+        removal) on the ORIGINAL observation order with a replicated
+        residual pass."""
+        from ..parallel.sharded_ba import (
+            shard_problem_by_point, sharded_schur_ba,
+        )
+
+        n = int(self.mesh.devices.size)
+        sharded, _ = shard_problem_by_point(problem, n)
+        kf, pts, info = sharded_schur_ba(
+            sharded, self.camera, self.calib.R_cb, self.calib.t_cb,
+            self.mesh, n_iters=n_iters)
+        if self._chi2_jit is None:
+            from .solver import _vis_residuals
+
+            self._chi2_jit = jax.jit(
+                lambda pb: _vis_residuals(pb, self.camera, self.calib.R_cb,
+                                          self.calib.t_cb, CHI2_MONO)[0])
+        # point sharding preserves point order, so (kf, pts) drop into the
+        # original problem for the chi2 pass and the caller's write-back
+        chi2 = self._chi2_jit(problem._replace(kf=kf, points=pts))
+        info = dict(info)
+        info["obs_chi2"] = chi2
+        return kf, pts, info
 
     def _write_back_ba(self, store, kf, pts, info, ids, pids, obs_kf_l,
                        obs_pt_l, opt_ids, opt_points, vb_dofs,

@@ -67,4 +67,7 @@ def ate_rmse(t_est, p_est, t_gt, p_gt, max_dt: float = 0.02,
         "errors": err,
         "aligned": aligned,
         "gt": dst,
+        # matched estimate timestamps: lets callers re-emit the aligned
+        # trajectory as a valid (re-evaluatable) TUM file
+        "t_matched": np.asarray(t_est)[ie],
     }

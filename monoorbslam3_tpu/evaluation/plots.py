@@ -30,8 +30,18 @@ def compare_trajectories(gt_path: str, est_paths, labels=None,
     (t_gt, p_gt, [(label, result-dict), ...]) with each result as returned
     by `ate_rmse` (aligned positions, per-pose errors, rmse, scale)."""
     t_gt, p_gt, _ = load_tum(gt_path)
-    labels = list(labels) if labels else [
-        os.path.splitext(os.path.basename(p))[0] for p in est_paths]
+    basenames = [os.path.splitext(os.path.basename(p))[0] for p in est_paths]
+    labels = list(labels) if labels else []
+    if len(labels) > len(est_paths):
+        raise ValueError(f"{len(labels)} labels for {len(est_paths)} estimates")
+    labels = labels + basenames[len(labels):]  # pad missing with basenames
+    # uniquify (duplicate labels would overwrite each other's outputs)
+    seen: dict[str, int] = {}
+    for i, lb in enumerate(labels):
+        n = seen.get(lb, 0)
+        seen[lb] = n + 1
+        if n:
+            labels[i] = f"{lb}_{n + 1}"
     out = []
     for label, path in zip(labels, est_paths):
         t_e, p_e, _ = load_tum(path)
@@ -65,8 +75,14 @@ def plot_comparison(gt_path: str, est_paths, out_path: str, labels=None,
                 label=f"{label} (ATE {res['rmse']*100:.1f} cm)")
         if save_aligned_dir:
             os.makedirs(save_aligned_dir, exist_ok=True)
+            # valid TUM rows (identity quaternions) so the aligned file can
+            # be re-fed to the evaluator/plotter
+            rows = np.zeros((len(a), 8))
+            rows[:, 0] = res["t_matched"]
+            rows[:, 1:4] = a
+            rows[:, 7] = 1.0
             np.savetxt(os.path.join(save_aligned_dir, f"{label}_aligned.txt"),
-                       a, fmt="%.6f")
+                       rows, fmt="%.6f")
     ax.set_xlabel("x [m]")
     ax.set_ylabel("y [m]")
     ax.set_aspect("equal", adjustable="datalim")
@@ -95,9 +111,11 @@ def main(argv=None):
         max_dt=args.max_dt, with_scale=not args.no_scale,
         save_aligned_dir=args.save_aligned)
     for label, res in results:
-        # same two lines compare.py prints per run (compare.py:177-180)
-        print(f"{label}: scale {res.get('scale', 0.0):.4f}  "
-              f"ATE RMSE {res['rmse']:.4f} m  "
+        # same two lines compare.py prints per run (compare.py:177-180);
+        # the scale field only makes sense for a Sim(3) fit that happened
+        scale = (f"scale {res['scale']:.4f}  "
+                 if not args.no_scale and res.get("n_matches", 0) >= 3 else "")
+        print(f"{label}: {scale}ATE RMSE {res['rmse']:.4f} m  "
               f"({res.get('n_matches', 0)} matched poses)")
     print(f"wrote {args.out}")
     return results

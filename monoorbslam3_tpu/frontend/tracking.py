@@ -13,6 +13,8 @@ kernel. Matching candidates are padded to the frame feature capacity.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,7 +39,11 @@ def _predict_deltas(pre, bg, ba):
             pre.delta_position(bg, ba))
 
 
-_rot_filter = jax.jit(matching.rotation_consistency_mask)
+# the tracker's projection/BoW searches disable the rotation histogram
+# when its 3 dominant bins cover under half the matches (no consistent
+# signal — see rotation_consistency_mask)
+_rot_filter = jax.jit(partial(matching.rotation_consistency_mask,
+                              min_keep_frac=0.5))
 
 
 @jax.jit

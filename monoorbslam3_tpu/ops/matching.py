@@ -60,12 +60,20 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 
-def rotation_consistency_mask(angles_a, angles_b, match_idx, matched):
+def rotation_consistency_mask(angles_a, angles_b, match_idx, matched,
+                              min_keep_frac: float = 0.0):
     """Keep only matches whose orientation difference lands in one of the 3
     dominant histogram bins (ORBMatcher.cpp:594-622).
 
     angles in radians; matched: [N] bool; match_idx: [N] into B.
-    """
+
+    min_keep_frac: if the 3 dominant bins hold less than this fraction of
+    the matches, the histogram carries no consistent rotation signal (IC
+    angles noisy, e.g. under fast view sweeps) and the gate disables
+    itself — measured on the fast-rotation world: the raw top-3 filter
+    sheds ~half the TRUE matches and quadruples tracking deaths. The
+    reference applies the filter unconditionally (its CPU per-cell search
+    feeds it far fewer, cleaner candidates)."""
     two_pi = 2.0 * jnp.pi
     rot = angles_a - angles_b[match_idx]
     rot = jnp.mod(rot, two_pi)
@@ -78,6 +86,11 @@ def rotation_consistency_mask(angles_a, angles_b, match_idx, matched):
     keep2 = c2.astype(jnp.float32) > 0.1 * c1.astype(jnp.float32)
     keep3 = c3.astype(jnp.float32) > 0.1 * c1.astype(jnp.float32)
     ok = (bins == i1) | (keep2 & (bins == i2)) | (keep3 & (bins == i3))
+    if min_keep_frac > 0.0:
+        n_match = jnp.maximum(jnp.sum(matched), 1)
+        kept = jnp.sum(matched & ok)
+        ambiguous = kept < min_keep_frac * n_match
+        ok = ok | ambiguous
     return matched & ok
 
 

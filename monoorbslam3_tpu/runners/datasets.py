@@ -191,10 +191,17 @@ def main(argv=None):
     from ..config import build_system
 
     p = argparse.ArgumentParser(description="mono-inertial SLAM runner")
-    p.add_argument("kind", choices=["euroc", "kitti", "tumvi", "phone"])
+    p.add_argument("kind", choices=["euroc", "kitti", "tumvi", "phone",
+                                    "synthetic"])
     p.add_argument("settings")
-    p.add_argument("data_dir")
+    p.add_argument("data_dir",
+                   help="dataset folder; for kind=synthetic a world spec "
+                        "like 'circle:t_end=60,fps=20' "
+                        "(circle|fastspin|lowtex|corridor)")
     p.add_argument("out_trajectory")
+    p.add_argument("--gt-out", default=None,
+                   help="kind=synthetic: write the ground-truth camera "
+                        "trajectory (TUM) here for ATE evaluation")
     p.add_argument("--velocity-out", default=None)
     p.add_argument("--map-out", default=None)
     p.add_argument("--depth-out", default=None)
@@ -221,9 +228,16 @@ def main(argv=None):
                           viewer_dir=args.viewer_dir)
     if args.load_state:
         system.load_state(args.load_state)
-    loaders = {"euroc": euroc_dataset, "kitti": kitti_dataset,
-               "tumvi": tumvi_dataset, "phone": VideoDataset}
-    dataset = loaders[args.kind](args.data_dir)
+    if args.kind == "synthetic":
+        from .synth import SyntheticDataset
+
+        dataset = SyntheticDataset(args.data_dir, system.camera, system.calib)
+        if args.gt_out:
+            dataset.save_ground_truth(args.gt_out)
+    else:
+        loaders = {"euroc": euroc_dataset, "kitti": kitti_dataset,
+                   "tumvi": tumvi_dataset, "phone": VideoDataset}
+        dataset = loaders[args.kind](args.data_dir)
     fps = None
     if args.realtime:
         fps = float(load_settings_fps(args.settings))

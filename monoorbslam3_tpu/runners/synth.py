@@ -1,0 +1,127 @@
+"""Synthetic dataset streams for the runner CLI (kind `synthetic`).
+
+The reference validates only against disk-mounted datasets
+(test/euroc.sh, evaluation/result.sh); no datasets ship in this image, so
+the scale-stress battery renders deterministic worlds that match real
+dataset SHAPE — duration, frame count, motion regime — and streams them
+through the SAME public CLI path as a disk dataset (runners.datasets):
+
+- `circle`    — the tangent-camera circle world (EuRoC-room-like sweep)
+- `fastspin`  — the circle at an aggressive yaw rate
+- `lowtex`    — the circle with a low-contrast wall sector per lap
+- `corridor`  — ForwardTrajectory down a textured corridor: forward
+  motion with the camera near the focus of expansion (KITTI-raw-like)
+
+Spec strings select and parameterize: "circle:t_end=60,fps=20".
+Ground truth (TUM format, CAMERA poses — what compare.py evaluates) is
+exported per run via `save_ground_truth` / the CLI `--gt-out`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..sim import (
+    CorridorImageWorld, ForwardTrajectory, ImageWorld, Trajectory,
+)
+from ..utils import lie
+
+
+def parse_spec(spec: str) -> tuple[str, dict]:
+    """'name:k=v,k=v' -> (name, {k: float(v)})."""
+    if ":" in spec:
+        name, rest = spec.split(":", 1)
+        kv = {}
+        for part in rest.split(","):
+            if part:
+                k, v = part.split("=")
+                kv[k] = float(v)
+        return name, kv
+    return spec, {}
+
+
+def make_world(name: str, kv: dict):
+    """Returns (world, trajectory, default_t_end)."""
+    if name == "circle":
+        traj = Trajectory()
+        return ImageWorld(traj=traj), traj, kv.get("t_end", 60.0)
+    if name == "fastspin":
+        traj = Trajectory(omega=kv.get("omega", 1.1))
+        return ImageWorld(traj=traj), traj, kv.get("t_end", 30.0)
+    if name == "lowtex":
+        traj = Trajectory()
+        width = kv.get("sector", 1.1)
+        return (ImageWorld(traj=traj, blank_sector=(0.6, 0.6 + width)),
+                traj, kv.get("t_end", 60.0))
+    if name == "corridor":
+        traj = ForwardTrajectory(speed=kv.get("speed", 8.0))
+        return (CorridorImageWorld(traj=traj,
+                                   half_width=kv.get("half_width", 8.0)),
+                traj, kv.get("t_end", 60.0))
+    raise ValueError(f"unknown synthetic world {name!r} "
+                     "(circle|fastspin|lowtex|corridor)")
+
+
+class SyntheticDataset:
+    """Duck-typed like ImageFolderDataset: `__len__` + `frames()` yielding
+    (t, image, imu_rows). Rendering runs on host numpy per frame — this is
+    a validation surface, not the perf path."""
+
+    def __init__(self, spec: str, camera, calib, fps: float = 20.0,
+                 imu_freq: float = 200.0, seed: int = 9,
+                 bg=(0.003, -0.002, 0.001), ba=(0.02, -0.015, 0.01),
+                 noise_gyro: float = 1.7e-4, noise_acc: float = 2e-3,
+                 image_noise: float = 1.0):
+        name, kv = parse_spec(spec)
+        self.world, self.traj, t_end = make_world(name, kv)
+        self.name = name
+        self.t_end = float(kv.get("t_end", t_end))
+        self.fps = float(kv.get("fps", fps))
+        self.camera = camera
+        self.calib = calib
+        self.R_bc = np.asarray(calib.R_bc, np.float64)
+        self.t_bc = np.asarray(calib.t_bc, np.float64)
+        self.imu_freq = imu_freq
+        self.seed = seed
+        self.bg = np.asarray(bg)
+        self.ba = np.asarray(ba)
+        self.noise_gyro = noise_gyro
+        self.noise_acc = noise_acc
+        self.image_noise = image_noise
+        self.times = np.arange(0.0, self.t_end, 1.0 / self.fps)
+
+    def __len__(self):
+        return len(self.times)
+
+    def frames(self):
+        rng = np.random.default_rng(self.seed)
+        last_t = None
+        for t in self.times:
+            img = self.world.render(t, self.camera, self.R_bc, self.t_bc,
+                                    noise=self.image_noise, rng=rng)
+            imu = None
+            if last_t is not None:
+                g, a, d = self.traj.imu_samples(
+                    last_t, t, self.imu_freq, bg=self.bg, ba=self.ba,
+                    noise_gyro=self.noise_gyro, noise_acc=self.noise_acc,
+                    rng=rng)
+                ts = last_t + np.cumsum(d)
+                imu = np.concatenate([ts[:, None], g, a], axis=1)
+            yield t, img, imu
+            last_t = t
+
+    def save_ground_truth(self, path: str):
+        """TUM-format ground-truth CAMERA trajectory (t x y z qx qy qz qw)
+        at frame timestamps — the file compare.py/evaluate_sequences
+        consumes as `gt`."""
+        import jax.numpy as jnp
+
+        with open(path, "w") as f:
+            for t in self.times:
+                R_wb = self.traj.R_wb(t)
+                p_wb = self.traj.pos(t)
+                R_wc = R_wb @ self.R_bc
+                t_wc = R_wb @ self.t_bc + p_wb
+                q = np.asarray(lie.rot_to_quat(jnp.asarray(R_wc, jnp.float32)))
+                f.write(f"{t:.6f} {t_wc[0]:.7f} {t_wc[1]:.7f} {t_wc[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")

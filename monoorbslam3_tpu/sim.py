@@ -170,6 +170,58 @@ class HoverTrajectory(Trajectory):
 
 
 @dataclass
+class ForwardTrajectory(Trajectory):
+    """Forward-dominant vehicle motion (the KITTI-raw regime): constant
+    speed along +x with a gentle lateral meander and small vertical bumps;
+    yaw follows the tangent, so the camera looks near the focus of
+    expansion — the low-parallax triangulation regime the round-1
+    forensics identified as the hardest failure mode (STATUS.md)."""
+
+    speed: float = 8.0
+    curve_amp: float = 4.0
+    curve_w: float = 0.12
+    bump_amp: float = 0.04
+    bump_w: float = 2.1
+
+    def pos(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack([
+            self.speed * t,
+            self.curve_amp * np.sin(self.curve_w * t),
+            self.bump_amp * np.sin(self.bump_w * t),
+        ], axis=-1)
+
+    def vel(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack([
+            np.full_like(t, self.speed),
+            self.curve_amp * self.curve_w * np.cos(self.curve_w * t),
+            self.bump_amp * self.bump_w * np.cos(self.bump_w * t),
+        ], axis=-1)
+
+    def acc(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack([
+            np.zeros_like(t),
+            -self.curve_amp * self.curve_w**2 * np.sin(self.curve_w * t),
+            -self.bump_amp * self.bump_w**2 * np.sin(self.bump_w * t),
+        ], axis=-1)
+
+    def yaw(self, t):
+        t = np.asarray(t, np.float64)
+        u = self.curve_amp * self.curve_w * np.cos(self.curve_w * t) / self.speed
+        return np.arctan(u)
+
+    def omega_body(self, t):
+        t = np.asarray(t, np.float64)
+        u = self.curve_amp * self.curve_w * np.cos(self.curve_w * t) / self.speed
+        du = -self.curve_amp * self.curve_w**2 * np.sin(self.curve_w * t) / self.speed
+        out = np.zeros(t.shape + (3,))
+        out[..., 2] = du / (1.0 + u * u)
+        return out
+
+
+@dataclass
 class ImageWorld:
     """Renderable synthetic world: a procedurally textured cylinder wall
     around the trajectory circle, ray-cast per frame into pixel-accurate,
@@ -191,6 +243,10 @@ class ImageWorld:
     tex_h: int = 1024
     tex_w: int = 4096
     seed: int = 11
+    # low-texture stretch: angular sector [a0, a1] (radians, wall azimuth)
+    # whose texture contrast collapses — the deterministic analog of a
+    # white wall / overexposed window in a real sequence
+    blank_sector: tuple | None = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -203,6 +259,13 @@ class ImageWorld:
         tex -= tex.min()
         tex *= 255.0 / tex.max()
         self.texture = tex.astype(np.float32)
+        if self.blank_sector is not None:
+            a0, a1 = self.blank_sector
+            c0 = int((a0 + np.pi) / (2 * np.pi) * self.tex_w)
+            c1 = int((a1 + np.pi) / (2 * np.pi) * self.tex_w)
+            c0, c1 = max(0, min(c0, c1)), min(self.tex_w, max(c0, c1))
+            band = self.texture[:, c0:c1]
+            self.texture[:, c0:c1] = band.mean() + 0.02 * (band - band.mean())
         # vertical extent the texture band covers (z tiles outside)
         self.z_span = 8.0
         # textured pillars between the trajectory circle and the wall: a
@@ -302,6 +365,66 @@ class ImageWorld:
 
 
 @dataclass
+class CorridorImageWorld(ImageWorld):
+    """Renderable corridor for forward-motion (KITTI-like) sequences: two
+    textured side walls, a ground plane, and a ceiling, ray-cast with the
+    same multi-octave texture as ImageWorld. Pair with ForwardTrajectory
+    and a forward-looking camera: most pixels sit near the focus of
+    expansion, the regime where triangulation parallax is weakest."""
+
+    half_width: float = 8.0
+    ground_z: float = -1.6
+    ceiling_z: float = 5.0
+
+    def render(self, t, camera, R_bc, t_bc, noise=1.0, rng=None):
+        rng = rng or np.random.default_rng(int(t * 1e3) % (2**31))
+        d_c = self._ray_grid(camera)
+        R_cw, t_cw = self.pose_cw(t, R_bc, t_bc)
+        R_wc = R_cw.T
+        o_w = -R_wc @ t_cw
+        d_w = d_c @ R_wc.T  # [H, W, 3]
+
+        H, W = d_w.shape[:2]
+        s_best = np.full((H, W), np.inf)
+        tu = np.zeros((H, W))
+        tv = np.zeros((H, W))
+        # plane list: (axis, value, uoff) — u along x, v along the other axis
+        planes = [
+            (1, +self.half_width, 0.00),   # left wall:  (x, z)
+            (1, -self.half_width, 0.37),   # right wall
+            (2, self.ground_z, 0.61),      # ground:     (x, y)
+            (2, self.ceiling_z, 0.83),     # ceiling
+        ]
+        for axis, value, uoff in planes:
+            dn = d_w[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(np.abs(dn) > 1e-9,
+                             (value - o_w[axis]) / dn, np.inf)
+            hit = (s > 0.1) & (s < s_best)
+            s = np.where(hit, s, 1.0)  # keep masked-lane math finite
+            p = o_w[None, None] + s[..., None] * d_w
+            u = np.mod(p[..., 0] / 24.0 + uoff, 1.0) * (self.tex_w - 1)
+            vax = 2 if axis == 1 else 1
+            v = np.mod(p[..., vax] / self.z_span + 0.5, 1.0) * (self.tex_h - 1)
+            s_best = np.where(hit, s, s_best)
+            tu = np.where(hit, u, tu)
+            tv = np.where(hit, v, tv)
+
+        u0 = np.floor(tu).astype(np.int64) % self.tex_w
+        v0 = np.floor(tv).astype(np.int64) % self.tex_h
+        u1 = (u0 + 1) % self.tex_w
+        v1 = (v0 + 1) % self.tex_h
+        au = (tu - np.floor(tu)).astype(np.float32)
+        av = (tv - np.floor(tv)).astype(np.float32)
+        T = self.texture
+        img = ((1 - au) * (1 - av) * T[v0, u0] + au * (1 - av) * T[v0, u1]
+               + (1 - au) * av * T[v1, u0] + au * av * T[v1, u1])
+        if noise > 0:
+            img = img + rng.normal(scale=noise, size=img.shape)
+        return np.clip(img, 0, 255).astype(np.float32)
+
+
+@dataclass
 class World:
     """Landmark field + feature observation generator."""
 
@@ -374,3 +497,43 @@ class World:
             "uv": out_uv, "desc": out_desc, "point_id": out_pid, "valid": out_valid,
             "R_cw": R_cw.astype(np.float32), "t_cw": t_cw.astype(np.float32),
         }
+
+
+@dataclass
+class CorridorWorld(World):
+    """Feature-injection corridor for forward motion: landmarks on two
+    side walls + ground along the trajectory's x-extent. The forward-
+    looking camera sees most landmarks near the focus of expansion."""
+
+    traj: Trajectory = field(default_factory=ForwardTrajectory)
+    length: float = 600.0
+    half_width: float = 8.0
+    ground_z: float = -1.6
+    # low-texture stretch: x-range with a sparse landmark field
+    sparse_x: tuple | None = None
+    sparse_keep: float = 0.12
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        n_wall = self.n_points * 2 // 5
+        n_ground = self.n_points - 2 * n_wall
+        x_l = rng.uniform(-10.0, self.length, n_wall)
+        x_r = rng.uniform(-10.0, self.length, n_wall)
+        x_g = rng.uniform(-10.0, self.length, n_ground)
+        left = np.stack([x_l, np.full(n_wall, self.half_width),
+                         rng.uniform(self.ground_z, 4.0, n_wall)], -1)
+        right = np.stack([x_r, np.full(n_wall, -self.half_width),
+                          rng.uniform(self.ground_z, 4.0, n_wall)], -1)
+        ground = np.stack([x_g, rng.uniform(-self.half_width, self.half_width,
+                                            n_ground),
+                           np.full(n_ground, self.ground_z)], -1)
+        self.points = np.concatenate([left, right, ground], axis=0)
+        if self.sparse_x is not None:
+            x0, x1 = self.sparse_x
+            inside = (self.points[:, 0] >= x0) & (self.points[:, 0] <= x1)
+            drop = inside & (rng.uniform(size=len(inside)) > self.sparse_keep)
+            self.points = self.points[~drop]
+        self.n_points = len(self.points)
+        self.desc = rng.integers(0, 2**32, size=(self.n_points, 8),
+                                 dtype=np.uint32)
+        self._rng = rng

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 class System:
     def __init__(self, camera, calib: ImuCalib, config=None, extractor=None,
                  async_mapper: bool = False, vocab=None,
-                 viewer_dir: str | None = None):
+                 viewer_dir: str | None = None, mesh=None):
         """vocab: optional ops.vocab.Vocabulary. When set, every frame's
         descriptors are assigned vocabulary node ids (Frame::computeBow,
         Frame.cpp:168-178) and the reference-KF / triangulation matchers
@@ -54,10 +54,14 @@ class System:
             max_kf=cfg.get("max_kf", 512), max_pt=cfg.get("max_pt", 32768),
             n_feat=n_feat,
         )
+        # mesh: optional jax.sharding.Mesh — the mapper's window BAs then
+        # run through the distributed Schur pipeline (sharded landmark
+        # reduction + psum over ICI); see Problems.__init__
         self.problems = Problems(camera, calib,
                                  local_k=cfg.get("local_k", 32),
                                  local_p=cfg.get("local_p", 2048),
-                                 local_o=cfg.get("local_o", 6144))
+                                 local_o=cfg.get("local_o", 6144),
+                                 mesh=mesh)
         if extractor is not None:
             cfg.setdefault("scale_factors", extractor.scale_factors)
         self.tracking = Tracking(camera, calib, self.store, self.problems, cfg)
