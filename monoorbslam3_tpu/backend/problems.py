@@ -364,11 +364,23 @@ class Problems:
         obs_pt = np.concatenate(obs_pt) if obs_pt else np.zeros(0, np.int32)
         obs_uv = np.concatenate(obs_uv) if obs_uv else np.zeros((0, 2), np.float32)
         obs_is2 = np.concatenate(obs_is2) if obs_is2 else np.zeros(0, np.float32)
-        no = min(len(obs_kf), O)
         if len(obs_kf) > O:
+            # stratified stride subsample across the concatenated per-KF
+            # blocks — a tail truncation would drop the FIXED ANCHORS'
+            # observations first (they are assembled last), cutting the
+            # window loose from the old map and letting the gauge drift
+            # (measured on the 60 s circle world: 2k of 5k obs dropped,
+            # all from the anchors, resets at lap closure)
             log.warning("window BA: observation capacity %d reached, "
-                        "dropping %d of %d observations",
+                        "stride-subsampling %d of %d observations",
                         O, len(obs_kf) - O, len(obs_kf))
+            keep = np.unique(np.round(
+                np.linspace(0, len(obs_kf) - 1, O)).astype(np.int64))
+            obs_kf = obs_kf[keep]
+            obs_pt = obs_pt[keep]
+            obs_uv = obs_uv[keep]
+            obs_is2 = obs_is2[keep]
+        no = min(len(obs_kf), O)
         obs_meta = (obs_kf[:no].copy(), obs_pt[:no].copy())
 
         o_kf = np.zeros(O, np.int32)
@@ -428,8 +440,20 @@ class Problems:
 
         prior_inv_sigma = np.zeros((K, 15), np.float32)
         if priors:
-            for i, k in enumerate(ids):
-                prior_inv_sigma[i, 6:15] = store.kf_prior_inv_sigma[k]
+            # the velocity/bias priori pins ONLY the OLDEST optimized KF —
+            # the sliding window's border, whose preceding inertial edge
+            # was cut (Optimize.cpp:1176-1191 `if (i == 0)`). Applying it
+            # to every KF (the round-1 behavior) freezes all velocities at
+            # their build-time values: each frame fit then propagates the
+            # stale velocity forward and the estimate's direction lags the
+            # true motion by a growing angle (measured on the 25 s circle
+            # world: 47 -> 64 deg yaw lag, ~25 cm/s position drift).
+            opt_set = set(opt_ids)
+            opt_sorted = sorted((k for k in ids if k in opt_set),
+                                key=lambda k: store.kf_time[k])
+            if opt_sorted:
+                i0 = ids.index(opt_sorted[0])
+                prior_inv_sigma[i0, 6:15] = store.kf_prior_inv_sigma[opt_sorted[0]]
 
         problem = BAProblem(
             kf=kf,

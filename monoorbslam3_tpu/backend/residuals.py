@@ -121,11 +121,36 @@ class PreintEdge(NamedTuple):
     dt: jnp.ndarray  # [...]
     L_inv: jnp.ndarray  # [..., 9, 9] inverse Cholesky factor of C[:9,:9] (whitener)
 
+    # Integration-noise floor (per-edge sigmas: kr*dt [rad], kv*dt [m/s],
+    # kp*dt^2 [m]): the propagated covariance models SENSOR noise only,
+    # but rectangular integration of a rotating specific force leaves a
+    # DISCRETIZATION error ~0.5*|w||f|*dt_sample per second — measured on
+    # the circle world: |ep| ~ 0.3 mm per 0.25 s edge against a claimed
+    # sigma_dP of ~5 um, i.e. the whitening was ~60x overconfident. BA
+    # then trusts the IMU chain over the visual anchors and the solution
+    # follows IMU dead-reckoning: position drift INTEGRATES (measured
+    # 84 cm ATE over 25 s; scaling the edge weights by 0.05 gave 5 cm).
+    # The reference inherits the same formulation but its real-IMU noise
+    # densities dominate its discretization error; on clean data the
+    # floor is what keeps the MAP estimate consistent.
+    INT_NOISE_R = 5e-4   # rad/s of edge duration (gyro integration is
+    #                      near-exact for slowly-rotating axes; a coarse
+    #                      rotation floor washes out the init's bias signal)
+    INT_NOISE_V = 8e-3   # (m/s)/s of edge duration
+    INT_NOISE_P = 6e-3   # m/s^2 -> sigma_p = kp * dt^2
+
     @staticmethod
     def from_preintegrated(pre, eps: float = 1e-12):
         """Build a whitening edge from a models.imu.Preintegrated pytree."""
         C9 = pre.C[..., :9, :9]
         C9 = 0.5 * (C9 + jnp.swapaxes(C9, -1, -2))
+        dt = pre.dt[..., None]
+        floor = jnp.concatenate([
+            jnp.broadcast_to((PreintEdge.INT_NOISE_R * dt) ** 2, dt.shape[:-1] + (3,)),
+            jnp.broadcast_to((PreintEdge.INT_NOISE_V * dt) ** 2, dt.shape[:-1] + (3,)),
+            jnp.broadcast_to((PreintEdge.INT_NOISE_P * dt * dt) ** 2, dt.shape[:-1] + (3,)),
+        ], axis=-1)
+        C9 = C9 + floor[..., None] * jnp.eye(9, dtype=jnp.float32)
         # scale-normalized Cholesky for f32 robustness
         tr = jnp.trace(C9, axis1=-2, axis2=-1) / 9.0
         s = jnp.maximum(tr, eps)

@@ -117,11 +117,13 @@ def _triangulate_pair_kernel(
     scale_ok = (ratio < s_ratio * 2.0) & (ratio * 2.0 > s_ratio / 1.0)
 
     # parallax gate: the reference accepts cos < 0.9998 (~1.15 deg,
-    # .cpp:652-657); near the focus of expansion that admits points with
-    # 20%+ depth error which destabilize tracking until BA repairs them.
-    # 0.9993 (~2.1 deg) keeps depth error under ~4% at triangulation time.
+    # .cpp:652-657). Round 1 tightened this to 2.1 deg against
+    # focus-of-expansion depth noise, but under forward motion (corridor/
+    # KITTI worlds) most of the scene NEVER reaches 2.1 deg and the map
+    # starves; the per-point sigma_z weighting + graduation culling now
+    # handle the low-parallax population the tight gate used to block.
     accept = (
-        hit & z_ok & (cos_par < 0.9993) & (e1 < 5.991) & (e2 < 5.991)
+        hit & z_ok & (cos_par < 0.9998) & (e1 < 5.991) & (e2 < 5.991)
         & scale_ok & jnp.all(jnp.isfinite(X), axis=-1)
     )
     return idx, X, accept
@@ -515,12 +517,18 @@ class LocalMapping:
         store = self.store
         if store.n_keyframes() < 8:
             return
-        candidates = store.recent_keyframes(self.window)[:-4]
+        # candidates = the current KF's covisible neighbors (the reference
+        # checks exactly this set, LocalMapping.cpp:320), NOT just the
+        # recent window — with a dense insertion policy the window alone
+        # never reaches the redundant mid-history and the map bloats
         order = store.keyframe_ids()
+        protect = set(store.recent_keyframes(4))
+        candidates = [k for k in store.covisible_keyframes(current, top=30)
+                      if k not in protect and k != order[0]]
         from .. import native
 
         for k in candidates:
-            if k == current or k == order[0]:
+            if k == current:
                 continue
             checked, redundant = native.redundancy_count(
                 store.kf_feat_pt[k], store.kf_feat_level[k],

@@ -97,6 +97,13 @@ class Tracking:
         self.kf_min_frames = cfg.get("kf_min_frames", 2)
         self.kf_max_interval = cfg.get("kf_max_interval", 0.5)
         self.kf_min_interval = cfg.get("kf_min_interval", 0.1)
+        # minimum TIME between idle-mapper weak-trigger insertions (c1b).
+        # The reference's c1b is frames >= 1 because its mapper is usually
+        # BUSY on real-time streams; with a synchronous (always-idle)
+        # mapper that cadence floods the map — measured on the 25 s circle
+        # world: KF every 2 frames gives 86 cm ATE vs 11 cm at 0.3 s
+        # spacing (map churn + short preintegration edges)
+        self.kf_idle_interval = cfg.get("kf_idle_interval", 0.25)
         # coarse-mode dispatch: below this inlier count the post-IMU-init
         # tracker prefers trackLastKeyFrame over trackLastFrame
         # (Tracking.cpp:112-121, threshold 100 at ~1000 features)
@@ -774,7 +781,8 @@ class Tracking:
                  if frame.n_tracked > self.kf_many_inliers
                  else self.kf_tracked_ratio)
         c1a = self.frames_since_kf >= self.kf_max_frames
-        c1b = self.frames_since_kf >= self.kf_min_frames and idle
+        c1b = (self.frames_since_kf >= self.kf_min_frames and idle
+               and dt >= self.kf_idle_interval)
         c2 = frame.n_tracked < ratio * n_ref
         c3 = dt >= self.kf_max_interval
         c4 = self.min_track_inliers < frame.n_tracked < self.kf_weak_inliers

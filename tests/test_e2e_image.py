@@ -96,3 +96,71 @@ def test_image_path_trajectory_accuracy(image_run):
     # measured 1.7 cm (2026-08-18); 10 cm bound leaves room for backend
     # numeric drift while still catching real regressions
     assert rmse < 0.10, f"image-path KF ATE RMSE {rmse * 100:.0f} cm"
+
+
+def test_image_path_with_vocabulary(image_run):
+    """BoW end to end on REAL extracted descriptors: train a vocabulary
+    from rendered-frame descriptors, run the full image pipeline with the
+    node-gated SearchByBow / SearchForTriangulation paths live, and hold
+    tracking + ATE parity with the dense run (VERDICT round-1 missing #7;
+    reference ORBMatcher.cpp:118-201, 417-522)."""
+    from monoorbslam3_tpu.ops.orb import OrbExtractor
+    from monoorbslam3_tpu.ops.vocab import Vocabulary
+    from monoorbslam3_tpu.sim import ImageWorld, Trajectory
+    from monoorbslam3_tpu.system import System
+
+    # train on descriptors extracted from a handful of rendered views
+    traj = Trajectory()
+    world = ImageWorld(traj=traj)
+    ext = OrbExtractor(384, 512, n_features=768)
+    from tests.test_e2e_synthetic import BA_TRUE, BG_TRUE, CALIB, R_BC, T_BC
+
+    descs = []
+    for t in np.arange(0.0, 5.0, 1.0):
+        img = world.render(t, CAM, R_BC, T_BC, noise=1.0,
+                           rng=np.random.default_rng(3))
+        out = ext(img)
+        d = np.asarray(out["desc"])[np.asarray(out["valid"])]
+        descs.append(d)
+    vocab = Vocabulary.train(np.concatenate(descs), k=8, levels=2,
+                             group_level=1, seed=0)
+
+    syst = System(CAM, CALIB, config={
+        "init_min_features": 100, "init_min_matches": 60,
+        "local_k": 16, "local_p": 1024, "local_o": 3072,
+        "local_pt_cap": 1024, "imu_init_kfs": 10, "max_pt": 16384,
+        "kf_max_interval": 0.25, "kf_tracked_ratio": 0.85,
+    }, extractor=ext, vocab=vocab)
+    rng = np.random.default_rng(9)
+    last_t = 0.0
+    states = []
+    for i, t in enumerate(np.arange(0.0, 4.0, 1.0 / 20.0)):
+        img = world.render(t, CAM, R_BC, T_BC, noise=1.0, rng=rng)
+        imu = None
+        if i:
+            g, a, d = traj.imu_samples(last_t, t, 200.0, bg=BG_TRUE,
+                                       ba=BA_TRUE, noise_gyro=1.7e-4,
+                                       noise_acc=2e-3, rng=rng)
+            ts = last_t + np.cumsum(d)
+            imu = np.concatenate([ts[:, None], g, a], axis=1)
+        states.append(syst.track(t, img, imu))
+        last_t = t
+    states = np.asarray(states)
+    ok = states == T.OK
+    assert ok.any(), "never initialized with BoW gating on images"
+    assert (states == T.LOST).sum() == 0, "BoW-gated run died"
+    assert ok[np.nonzero(ok)[0][0]:].mean() > 0.85, (
+        f"BoW OK ratio {ok.mean():.2f}")
+    # KFs carry real vocabulary node ids (the gate was actually live)
+    k = syst.store.keyframe_ids()[-1]
+    grp = syst.store.kf_feat_group[k][syst.store.kf_feat_valid[k]]
+    assert (grp >= 0).all()
+    # ATE parity with the dense-mode bound (test_image_path_trajectory_accuracy)
+    ids = syst.store.keyframe_ids()
+    kt = np.array([syst.store.kf_time[k] for k in ids])
+    kp = np.stack([syst.store.kf_t[k] for k in ids])
+    gt = traj.pos(kt)
+    s, R, tt = umeyama_align(kp, gt)
+    err = np.linalg.norm((s * kp @ R.T + tt) - gt, axis=1)
+    rmse = float(np.sqrt((err**2).mean()))
+    assert rmse < 0.10, f"BoW image-path KF ATE RMSE {rmse * 100:.0f} cm"
