@@ -72,6 +72,16 @@ def main():
         ms = _scan_time_ms(ham, reps)
         flops = 2.0 * N * M * 256  # bf16 matmul
         bytes_ = (N + M) * 256 * 2 + N * M * 4  # unpacked operands + i32 out
+        # FLOOR ARGUMENT (v5e, 2026-08-19): the bulk shape is NOT
+        # output-bandwidth-bound — output dtype i32/i16/u8/bf16 all
+        # measure ~0.91 ms and the raw dot alone is 0.63 ms vs the 0.17 ms
+        # MXU bound. The time splits into (a) the bit-plane unpack
+        # ([N,8]u32 -> [N,256]bf16 elementwise + relayout, ~0.3 ms) and
+        # (b) a K=256 matmul, too shallow to pipeline the 128x128 MXU
+        # efficiently (~35% utilization is typical at this depth). The
+        # production matcher never materializes this matrix (fused path
+        # below); unpack amortization would only help if one side were
+        # cached across searches.
         report(f"hamming_{tag}", ms, flops, bytes_, f"{N}x{M}x256b",
                "+-1 bit-plane MXU matmul (ops/matching.py)")
 

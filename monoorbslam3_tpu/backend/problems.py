@@ -757,6 +757,14 @@ class Problems:
             np.asarray(R, np.float64), np.asarray(t, np.float64),
             edge, prior_g, prior_a, with_scale=with_scale, n_iters=n_iters,
             t_bc=np.asarray(self.calib.t_bc, np.float64))
+        if with_scale and out["scale_sigma_rel"] > 0.25:
+            # scale unobservable (constant-velocity regime): DEFER — more
+            # trajectory usually brings a turn or speed change; applying a
+            # garbage scale rewrites the whole map gauge wrongly
+            log.warning("inertial init deferred: scale unobservable "
+                        "(relative sigma %.2f, estimate %.3f)",
+                        out["scale_sigma_rel"], out["scale"])
+            return None
         R_wg = out["R_wg"].astype(np.float32)
         scale = float(out["scale"])
         bg = out["bg"].astype(np.float32)
@@ -777,7 +785,8 @@ class Problems:
             w = (tk - t_sel[j - 1]) / max(t_sel[j] - t_sel[j - 1], 1e-9)
             store.kf_v[k] = (1.0 - w) * vels[j - 1] + w * vels[j]
         return {"R_wg": R_wg, "scale": scale, "bg": bg, "ba": ba,
-                "cost0": float(out["cost0"]), "cost": float(out["cost"])}
+                "cost0": float(out["cost0"]), "cost": float(out["cost"]),
+                "scale_sigma_rel": float(out.get("scale_sigma_rel", 0.0))}
 
     def _merged_windows(self, store, sel_ids):
         """Concatenated raw IMU windows between consecutive SELECTED KFs
@@ -937,6 +946,7 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
     A, b = _align_rows()
     x_lin, *_ = np.linalg.lstsq(A, b, rcond=None)
     g_lin = x_lin[3 * K : 3 * K + 3]
+    scale_sigma_rel = 0.0
     if np.isfinite(g_lin).all() and np.linalg.norm(g_lin) > 1.0:
         for _ in range(3):
             ghat = g_lin / np.linalg.norm(g_lin)
@@ -953,6 +963,25 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
             g_new = G_NORM * ghat + Tn @ x_c[3 * K : 3 * K + 2]
             g_lin = G_NORM * g_new / np.linalg.norm(g_new)
             x_lin = x_c
+        if with_scale:
+            # scale observability: its posterior std from the final
+            # constrained system. Under constant-velocity motion (the
+            # vehicle/KITTI regime) the accelerometer sees only gravity
+            # and the scale column is near-null — lstsq then extrapolates
+            # garbage (measured 225x on the constant-speed corridor; the
+            # reference's damped g2o leaves scale at its seed instead,
+            # Optimize.cpp:104-105,136). Callers defer the init when the
+            # relative sigma is large.
+            resid = A @ x_lin - b
+            dof_n = max(len(b) - A.shape[1], 1)
+            resid_var = float(resid @ resid) / dof_n
+            AtA = A.T @ A
+            try:
+                cov_ss = float(np.linalg.inv(AtA)[-1, -1]) * resid_var
+                scale_sigma_rel = float(
+                    np.sqrt(max(cov_ss, 0.0)) / max(abs(x_lin[-1]), 1e-9))
+            except np.linalg.LinAlgError:
+                scale_sigma_rel = np.inf
     s_seed = float(x_lin[-1]) if with_scale else 1.0
     v_metric = x_lin[: 3 * K].reshape(K, 3)
     if (not np.isfinite(s_seed) or s_seed < 1e-3
@@ -1068,7 +1097,8 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
     s = float(np.exp(ls + (ls0 if with_scale else 0.0)))
     R_wg = R_wg0 @ _np_exp_so3(np.array([theta[0], theta[1], 0.0]))
     return {"v": v, "bg": bg, "ba": ba, "R_wg": R_wg, "scale": s,
-            "cost0": cost0, "cost": cost}
+            "cost0": cost0, "cost": cost,
+            "scale_sigma_rel": scale_sigma_rel}
 
 
 # ---------------------------------------------------------------------------

@@ -489,6 +489,11 @@ class LocalMapping:
         store = self.store
         out = self.problems.inertial_optimize(store, prior_g=1e8,
                                               prior_a=1e12, with_scale=True)
+        if out is None:
+            # scale currently unobservable (e.g. constant-velocity
+            # stretch): refine the direction only, like the reference
+            out = self.problems.inertial_optimize(
+                store, prior_g=1e8, prior_a=1e12, with_scale=False)
         if out is not None:
             scale = out["scale"]
             # apply the re-estimated scale only when it clearly deviates
@@ -516,6 +521,14 @@ class LocalMapping:
         destabilizes the local BA anchors and the preintegration chain."""
         store = self.store
         if store.n_keyframes() < 8:
+            return
+        if self.imu_state == IMU_NOT_INIT:
+            # protect the pre-init chain: the inertial init needs the KF
+            # history (it subsamples to >=0.2 s edges and needs excitation
+            # DIVERSITY across the span). Under forward motion the 90%
+            # rule eats almost every mid KF (far points are seen by every
+            # KF in a row) — measured 8 alive of 42 created, leaving the
+            # init one 15 s merged edge and an unobservable scale forever.
             return
         # candidates = the current KF's covisible neighbors (the reference
         # checks exactly this set, LocalMapping.cpp:320), NOT just the

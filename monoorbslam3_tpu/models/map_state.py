@@ -207,7 +207,7 @@ class MapStore:
 
     def add_point(self, xyz, desc, first_kf: int) -> int:
         if not self._free_pt:
-            raise RuntimeError("map point capacity exceeded")
+            self._evict_points()
         p = self._free_pt.pop()
         self.pt_valid[p] = True
         self.pt_xyz[p] = xyz
@@ -246,6 +246,22 @@ class MapStore:
         self.pt_n_obs[p] = n - 1
         if self.pt_n_obs[p] <= 1 and self.pt_valid[p]:
             self.remove_point(p)
+
+    def _evict_points(self, batch: int = 1024):
+        """At point capacity: free a batch of the weakest landmarks
+        (fewest observations, then lowest found ratio) — graceful
+        degradation for long sequences, like the KF-slot eviction. The
+        reference's point set grows unboundedly (Map.h:63)."""
+        valid = np.nonzero(self.pt_valid)[0]
+        n = min(batch, len(valid))
+        assert n > 0, "point capacity too small to evict"
+        found_ratio = self.pt_found[valid] / np.maximum(self.pt_visible[valid], 1)
+        score = self.pt_n_obs[valid].astype(np.float64) + 0.9 * found_ratio
+        victims = valid[np.argpartition(score, n - 1)[:n]]
+        log.warning("map point capacity %d reached: evicting %d weakest "
+                    "landmarks", self.max_pt, n)
+        for p in victims:
+            self.remove_point(int(p))
 
     def remove_point(self, p: int):
         if not self.pt_valid[p]:

