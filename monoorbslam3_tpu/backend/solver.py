@@ -1,12 +1,7 @@
-"""Levenberg-Marquardt solvers: generic dense LM + Schur-complement BA.
+"""Levenberg-Marquardt Schur-complement bundle adjustment.
 
 TPU-native replacement for g2o (reference links g2o_core/g2o_types_sba,
-CMakeLists.txt:29; problems in modules/Backend/Optimize.cpp). Two engines:
-
-- `lm_solve`: generic manifold LM for small dense problems (pose-only
-  optimize, inertial init, gravity refinement). The residual closure maps a
-  flat tangent increment to (whitened residuals, weights); the Jacobian is
-  one `jax.jacfwd` at zero — exact manifold Jacobians by construction.
+CMakeLists.txt:29; problems in modules/Backend/Optimize.cpp):
 
 - `schur_ba`: structured visual(-inertial) bundle adjustment. Landmarks are
   eliminated with a batched 3x3-block Schur complement; the reduced camera
@@ -44,51 +39,6 @@ CHI2_MONO = 5.991  # 2-DoF 95% gate (Optimize.cpp poseOptimize chi2)
 # 2026-08-17, cost 1118.6 after 10 iters for all of them).
 # numpy, not jnp — device constants hoist as stale-able const buffers (jax 0.9)
 LAM_GRID = np.array([0.3, 3.0], np.float32)
-
-
-# ---------------------------------------------------------------------------
-# Generic dense LM
-# ---------------------------------------------------------------------------
-
-
-@f32_matmuls
-def lm_solve(residual_fn, dim: int, n_iters: int = 10,
-             lambda0: float = 1e-4, state=None):
-    """Manifold LM on a problem expressed around a base state.
-
-    residual_fn(dx [dim]) -> (r [R], w [R]): residuals and nonnegative
-    weights at the retracted state `base ⊕ dx`. The caller re-bases between
-    outer rounds. Returns (dx_total [dim], final_cost).
-
-    Note: linearization happens once per iteration at the current dx; both
-    accept and reject re-enter the loop, with lambda adapted.
-    """
-
-    def cost_at(dx):
-        r, w = residual_fn(dx)
-        return jnp.sum(w * r * r)
-
-    def body(carry, _):
-        dx, lam, cost = carry
-        J = jax.jacfwd(lambda d: residual_fn(d)[0])(dx)  # [R, dim]
-        r, w = residual_fn(dx)
-        Jw = J * w[:, None]
-        H = J.T @ Jw
-        g = Jw.T @ r
-        D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
-        step = -jnp.linalg.solve(H + lam * D, g)
-        dx_new = dx + step
-        new_cost = cost_at(dx_new)
-        improved = new_cost < cost
-        dx = jnp.where(improved, dx_new, dx)
-        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-        cost = jnp.where(improved, new_cost, cost)
-        return (dx, lam, cost), None
-
-    dx0 = jnp.zeros(dim, jnp.float32)
-    init = (dx0, jnp.float32(lambda0), cost_at(dx0))
-    (dx, _, cost), _ = jax.lax.scan(body, init, None, length=n_iters)
-    return dx, cost
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,12 @@ class System:
         self._thread = None
         self._stop = False
         self._pending_reset = False
+        # trajectory segments archived by _do_reset: the reference clears
+        # the map on reset and a late-run reset would export an EMPTY
+        # trajectory (total loss for the evaluator); each segment keeps its
+        # own (possibly pre-metric) gauge — the archive preserves the
+        # session's only deliverable, it does not merge gauges
+        self._archived_traj: list[tuple] = []
         # the map_update_mutex analog (Map.h:59, Tracking.cpp:74): a coarse
         # reentrant lock held by the tracker across its whole iteration and
         # by the mapper across every map-mutating stage — the device BA
@@ -228,6 +234,10 @@ class System:
                 except queue.Empty:
                     break
         with self._map_lock:  # never clear the map under a running mapper stage
+            # snapshot the keyframe trajectory BEFORE wiping (the exported
+            # trajectory is the session's deliverable; see _archived_traj)
+            if self.store.n_keyframes() >= 2:
+                self._archived_traj.append(self._live_trajectory())
             self.store.reset()
             self.tracking.reset()
             self.mapper.imu_state = 0
@@ -340,7 +350,17 @@ class System:
 
     def keyframe_trajectory(self):
         """Returns (times [K], t_wc [K,3], q_wc [K,4] (w,x,y,z)) — camera
-        poses in TUM convention."""
+        poses in TUM convention, including segments archived by resets."""
+        live = self._live_trajectory()
+        if not self._archived_traj:
+            return live
+        segs = self._archived_traj + [live]
+        segs = [s for s in segs if len(s[0])]
+        if not segs:
+            return live
+        return tuple(np.concatenate([s[i] for s in segs]) for i in range(3))
+
+    def _live_trajectory(self):
         ids = self.store.keyframe_ids()
         R_cb = np.asarray(self.calib.R_cb)
         t_cb = np.asarray(self.calib.t_cb)

@@ -42,7 +42,14 @@ WORLDS = {
 }
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**20
+
+
 def run_world(name, settings, spec, out_dir):
+    import jax
+
     from monoorbslam3_tpu.config import build_system
     from monoorbslam3_tpu.runners.datasets import run_sequence
     from monoorbslam3_tpu.runners.synth import SyntheticDataset
@@ -52,8 +59,16 @@ def run_world(name, settings, spec, out_dir):
     system = build_system(settings)
     dataset = SyntheticDataset(spec, system.camera, system.calib)
     dataset.save_ground_truth(gt)
+
+    def log(msg):
+        # RSS + device-buffer census per progress line: the round-2 lowtex
+        # run died of a host (LLVM compile) OOM mid-run — keep the memory
+        # story visible in every battery log
+        print(f"{msg} | rss={_rss_mb():.0f}MB live={len(jax.live_arrays())}",
+              flush=True)
+
     t0 = time.perf_counter()
-    states = run_sequence(system, dataset, progress_every=100)
+    states = run_sequence(system, dataset, progress_every=100, log=log)
     wall = time.perf_counter() - t0
     system.shutdown()
     system.save_keyframe_trajectory(est)
@@ -75,17 +90,24 @@ def run_world(name, settings, spec, out_dir):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out-tag", default="r02")
+    ap.add_argument("--out-tag", default="r03")
     ap.add_argument("--worlds", default=",".join(WORLDS))
     ap.add_argument("--backend", default="cpu", choices=["cpu", "default"])
+    ap.add_argument("--devices", type=int, default=1,
+                    help="virtual CPU device count; the battery runs "
+                    "without a mesh, so 1 (default) avoids paying 8x "
+                    "executable memory for nothing (the round-2 lowtex "
+                    "host-OOM contributor)")
     ap.add_argument("--out-dir", default="/tmp/validation")
     args = ap.parse_args(argv)
 
     if args.backend == "cpu":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8")
+        if args.devices > 1:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count="
+                    f"{args.devices}")
         import jax
 
         jax.config.update("jax_platforms", "cpu")

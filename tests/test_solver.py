@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from monoorbslam3_tpu.backend import residuals as res
 from monoorbslam3_tpu.backend.residuals import KfState, PreintEdge
 from monoorbslam3_tpu.backend import solver as sol
-from monoorbslam3_tpu.backend.solver import BAProblem, lm_solve, schur_ba
+from monoorbslam3_tpu.backend.solver import BAProblem, schur_ba
 from monoorbslam3_tpu.models.camera import Pinhole
 from monoorbslam3_tpu.models.imu import ImuCalib, preintegrate
 from monoorbslam3_tpu.sim import Trajectory
@@ -35,41 +35,6 @@ def _make_states(R_wb, t_wb, v=None, bg=None, ba=None):
         jnp.asarray(bg if bg is not None else z),
         jnp.asarray(ba if ba is not None else z),
     )
-
-
-def test_lm_pose_only_converges():
-    """Single-camera pose optimize against fixed points (poseOptimize analog)."""
-    pts = np.stack(
-        [RNG.uniform(-3, 3, 120), RNG.uniform(-2, 2, 120), RNG.uniform(4, 10, 120)], axis=-1
-    ).astype(np.float32)
-    R_gt, t_gt = np.asarray(lie.exp_so3(jnp.asarray([0.1, -0.05, 0.2], jnp.float32))), np.array(
-        [0.3, -0.2, 0.1], np.float32
-    )
-    # body pose (R_wb, t_wb): camera at body; world points seen from inverse pose
-    s_gt = KfState(jnp.asarray(R_gt)[None], jnp.asarray(t_gt)[None],
-                   jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
-    uv = res.reprojection_residual(
-        jax.tree_util.tree_map(lambda a: a[0], s_gt), pts, jnp.zeros((120, 2)), CAM, R_CB, T_CB
-    )
-    uv = uv + RNG.normal(scale=0.3, size=uv.shape).astype(np.float32)
-
-    # perturbed initial state
-    dx0 = np.zeros(15, np.float32)
-    dx0[:3] = [0.03, -0.02, 0.01]
-    dx0[3:6] = [0.2, -0.1, 0.15]
-    s0 = res.retract_kf(jax.tree_util.tree_map(lambda a: a[0], s_gt), jnp.asarray(dx0))
-
-    def residual_fn(dx):
-        s = res.retract_kf(s0, dx)
-        r = res.reprojection_residual(s, pts, uv, CAM, R_CB, T_CB)
-        return r.reshape(-1), jnp.ones(r.size, jnp.float32)
-
-    dx, cost = lm_solve(residual_fn, dim=15, n_iters=12)
-    s_est = res.retract_kf(s0, dx)
-    dR = np.asarray(s_est.R_wb).T @ R_gt
-    ang = np.degrees(np.linalg.norm(np.asarray(lie.log_so3(jnp.asarray(dR)))))
-    assert ang < 0.1, f"rotation error {ang} deg"
-    np.testing.assert_allclose(np.asarray(s_est.t_wb), t_gt, atol=5e-3)
 
 
 def _build_ba_problem(n_kf=6, n_pts=200, noise=0.3, perturb=True):
