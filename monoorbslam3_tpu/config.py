@@ -113,16 +113,6 @@ def build_system(settings_path: str, use_extractor: bool = True,
     calib = build_imu_calib(settings)
     orb = settings.get("ORB", {})
     n_feat = int(orb.get("Features", 1024))
-    extractor = None
-    if use_extractor:
-        extractor = OrbExtractor(
-            camera.height, camera.width,
-            n_features=n_feat,
-            n_levels=int(orb.get("Levels", 8)),
-            scale=float(orb.get("ScaleFactor", 1.2)),
-            ini_th_fast=float(orb.get("IniThFAST", 20)),
-            min_th_fast=float(orb.get("MinThFAST", 7)),
-        )
     cfg = {"n_features": n_feat, "fps": float(settings["Camera"].get("fps", 20))}
     # optional `System:` node: tracker/mapper policy knobs (init gates, KF
     # policy, local-window capacities, ...) configurable per dataset profile
@@ -130,6 +120,23 @@ def build_system(settings_path: str, use_extractor: bool = True,
     # thresholds; caller overrides still win
     cfg.update(settings.get("System") or {})
     cfg.update(config_overrides or {})
+    extractor = init_extractor = None
+    if use_extractor:
+        ext_args = dict(
+            n_levels=int(orb.get("Levels", 8)),
+            scale=float(orb.get("ScaleFactor", 1.2)),
+            ini_th_fast=float(orb.get("IniThFAST", 20)),
+            min_th_fast=float(orb.get("MinThFAST", 7)),
+        )
+        extractor = OrbExtractor(camera.height, camera.width,
+                                 n_features=n_feat, **ext_args)
+        # the reference doubles features during monocular initialization
+        # (initial_extractor = new ORBExtractor(2 * nFeatures, ...),
+        # Tracking.cpp:24); init_features_mult <= 1 disables
+        mult = int(cfg.get("init_features_mult", 2))
+        if mult > 1:
+            init_extractor = OrbExtractor(camera.height, camera.width,
+                                          n_features=mult * n_feat, **ext_args)
     vocab = build_vocabulary(settings, vocab_path)
     return System(camera, calib, config=cfg, extractor=extractor, vocab=vocab,
-                  viewer_dir=viewer_dir)
+                  viewer_dir=viewer_dir, init_extractor=init_extractor)

@@ -57,6 +57,38 @@ def _project_points(R_wb, t_wb, R_cb, t_cb, xyz, camera):
     return uv, ok
 
 
+def _shrink_frame(frame: Frame, priority: np.ndarray, cap: int) -> np.ndarray:
+    """Reduce an oversized frame (the 2x initial extractor,
+    Tracking.cpp:24) to the tracker/store feature capacity IN PLACE,
+    keeping `priority` feature indices (the two-view inliers) first and
+    filling with the remaining valid features in extractor order. Returns
+    the old->new index map (-1 = dropped). No-op when already within
+    capacity."""
+    N = len(frame.xy)
+    if N <= cap:
+        return np.arange(N)
+    pri = np.unique(np.asarray(priority, np.int64))
+    pri = pri[frame.valid[pri]] if len(pri) else pri
+    rest = np.setdiff1d(np.nonzero(frame.valid)[0], pri)
+    keep = np.concatenate([pri, rest])[:cap].astype(np.int64)
+    idx_map = np.full(N, -1, np.int64)
+    idx_map[keep] = np.arange(len(keep))
+    for name in ("xy", "level", "angle", "desc", "sigma2"):
+        arr = getattr(frame, name)
+        new = np.zeros((cap, *arr.shape[1:]), arr.dtype)
+        new[: len(keep)] = arr[keep]
+        setattr(frame, name, new)
+    valid_new = np.zeros(cap, bool)
+    valid_new[: len(keep)] = frame.valid[keep]
+    frame.valid = valid_new
+    if frame.group is not None:
+        g = np.full(cap, -1, frame.group.dtype)
+        g[: len(keep)] = frame.group[keep]
+        frame.group = g
+    frame.pt_ids = np.full(cap, -1, np.int64)
+    return idx_map
+
+
 def _orthonormalize(R: np.ndarray) -> np.ndarray:
     """Exact projection of a near-rotation onto SO(3) (host side, 3x3)."""
     U, _, Vt = np.linalg.svd(R.astype(np.float64))
@@ -213,7 +245,13 @@ class Tracking:
         idx = np.asarray(idx)
         matched = idx >= 0
         n_matches = int(matched.sum())
-        if n_matches < self.init_min_matches:
+        # gate scales with the init frames' feature capacity: with the 2x
+        # initial extractor (Tracking.cpp:24) twice the features should
+        # yield twice the matches at the same quality bar — the reference
+        # demands >= 200 of ~2000 (Tracking.cpp:605-614)
+        gate = int(round(self.init_min_matches
+                         * max(1.0, len(f0.xy) / self.n_feat)))
+        if n_matches < gate:
             self.init_frame = frame  # slide the reference forward
             return
 
@@ -263,6 +301,17 @@ class Tracking:
         t21 = np.asarray(out["t"])
         good = np.asarray(out["good"])[: len(feat0)]
         X = np.asarray(out["points"])[: len(feat0)]
+
+        # 2x initial extractor: the oversized init frames must shrink to
+        # the tracker/store capacity before becoming keyframes — two-view
+        # inliers are kept with priority, then extractor order
+        cap = self.n_feat
+        if len(f0.xy) > cap or len(f1.xy) > cap:
+            m0 = _shrink_frame(f0, feat0[good], cap)
+            m1 = _shrink_frame(f1, feat1[good], cap)
+            feat0 = m0[feat0]
+            feat1 = m1[feat1]
+            good = good & (feat0 >= 0) & (feat1 >= 0)
 
         R_cb = np.asarray(self.calib.R_cb)
         t_cb = np.asarray(self.calib.t_cb)

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 class System:
     def __init__(self, camera, calib: ImuCalib, config=None, extractor=None,
                  async_mapper: bool = False, vocab=None,
-                 viewer_dir: str | None = None, mesh=None):
+                 viewer_dir: str | None = None, mesh=None,
+                 init_extractor=None):
         """vocab: optional ops.vocab.Vocabulary. When set, every frame's
         descriptors are assigned vocabulary node ids (Frame::computeBow,
         Frame.cpp:168-178) and the reference-KF / triangulation matchers
@@ -47,6 +48,10 @@ class System:
         self.camera = camera
         self.calib = calib
         self.extractor = extractor
+        # optional higher-capacity extractor used while NOT_INITIALIZED
+        # (the reference's 2x-feature "initial" extractor, Tracking.cpp:24);
+        # init frames shrink back to the store capacity at map creation
+        self.init_extractor = init_extractor
         self.vocab = vocab
         n_feat = cfg.get("n_features", extractor.n_features if extractor else 1024)
         cfg["n_features"] = n_feat
@@ -127,6 +132,10 @@ class System:
             outs.append(self.extractor(
                 _np.zeros((self.extractor.height, self.extractor.width),
                           _np.float32))["desc"])
+        if self.init_extractor is not None:
+            outs.append(self.init_extractor(
+                _np.zeros((self.init_extractor.height,
+                           self.init_extractor.width), _np.float32))["desc"])
         self.problems.warm_solvers(self.tracking.n_feat, ba_iters=ba_iters)
 
         n = self.store.n_feat
@@ -183,8 +192,13 @@ class System:
         if self._pending_reset:
             self._do_reset()
         assert self.extractor is not None, "System built without an extractor"
-        out = self.extractor(image)
-        feats = features_from_extractor(out, self.camera, self.extractor.scale_factors)
+        ext = self.extractor
+        if (self.init_extractor is not None
+                and self.tracking.state in (tracking_mod.NO_IMAGE,
+                                            tracking_mod.NOT_INITIALIZED)):
+            ext = self.init_extractor
+        out = ext(image)
+        feats = features_from_extractor(out, self.camera, ext.scale_factors)
         frame = make_frame(t, self._assign_bow(feats))
         with self._map_lock:  # Tracking.cpp:74 map_update_mutex
             state = self.tracking.track(frame, imu)
