@@ -81,11 +81,15 @@ def build_imu_calib(settings: dict) -> ImuCalib:
     )
 
 
-def build_vocabulary(settings: dict, vocab_path: str | None = None):
+def build_vocabulary(settings: dict, vocab_path: str | None = None,
+                     base_dir: str | None = None):
     """Optional vocabulary from the `Vocabulary` settings node (a path or
     `{File: path, GroupLevel: l}`) or an explicit path argument — the
     ORBVocabulary::createORBVocabulary analog (System.cpp:39). Returns None
-    when unset: dense matching needs no vocabulary on TPU."""
+    when unset: dense matching needs no vocabulary on TPU. A relative
+    `File:` resolves against the settings file's directory (`base_dir`)."""
+    import os
+
     from .ops.vocab import load_dbow2_text
 
     node = settings.get("Vocabulary")
@@ -96,7 +100,10 @@ def build_vocabulary(settings: dict, vocab_path: str | None = None):
     path = vocab_path or node
     if not path:
         return None
-    return load_dbow2_text(str(path), group_level=group_level)
+    path = str(path)
+    if base_dir and not os.path.isabs(path) and not os.path.exists(path):
+        path = os.path.join(base_dir, path)
+    return load_dbow2_text(path, group_level=group_level)
 
 
 def build_system(settings_path: str, use_extractor: bool = True,
@@ -137,6 +144,10 @@ def build_system(settings_path: str, use_extractor: bool = True,
         if mult > 1:
             init_extractor = OrbExtractor(camera.height, camera.width,
                                           n_features=mult * n_feat, **ext_args)
-    vocab = build_vocabulary(settings, vocab_path)
+    import os
+
+    vocab = build_vocabulary(settings, vocab_path,
+                             base_dir=os.path.dirname(
+                                 os.path.abspath(settings_path)))
     return System(camera, calib, config=cfg, extractor=extractor, vocab=vocab,
                   viewer_dir=viewer_dir, init_extractor=init_extractor)

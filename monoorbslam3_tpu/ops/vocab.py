@@ -174,6 +174,34 @@ def _transform_impl(node_desc, word_idf, desc, valid,
     return word, group, bow
 
 
+def save_dbow2_text(vocab: Vocabulary, path: str):
+    """Write a vocabulary in the DBoW2 text format (the ORBvoc.txt layout
+    load_dbow2_text parses): header `k L scoring weighting`, then one line
+    per node `parent_id is_leaf b0..b31 weight`, level-major in slot order
+    (children consecutive per parent, matching the loader's
+    encounter-order slot assignment). Roundtrips exactly with the loader,
+    and lets a trained-in-process vocabulary ship as a settings artifact
+    the reference's own tooling could read."""
+    k, L = vocab.k, vocab.levels
+    node_desc = np.asarray(vocab.node_desc)
+    idf = np.asarray(vocab.word_idf)
+
+    def file_id(l: int, s: int) -> int:
+        return sum(k**j for j in range(1, l)) + s + 1
+
+    with open(path, "w") as f:
+        f.write(f"{k} {L} 0 0\n")
+        for l in range(1, L + 1):
+            off = vocab.level_offset[l - 1]
+            for s in range(k**l):
+                pid = 0 if l == 1 else file_id(l - 1, s // k)
+                b = node_desc[off + s].view(np.uint8)
+                w = float(idf[s]) if l == L else 0.0
+                is_leaf = 1 if l == L else 0
+                f.write(f"{pid} {is_leaf} "
+                        + " ".join(str(int(x)) for x in b) + f" {w:.6f}\n")
+
+
 def load_dbow2_text(path: str, group_level: int = 1) -> Vocabulary:
     """Load a DBoW2 text vocabulary (the ORBvoc.txt format:
     header `k L scoring weighting`, then per node: parent is_leaf 32 bytes

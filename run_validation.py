@@ -39,6 +39,11 @@ WORLDS = {
                  2.5, 0.20),
     "corridor60": ("settings/synthetic_forward.yaml",
                    "corridor:t_end=60,fps=10", 6.0, 0.25),
+    # the BoW-gated matching path live in the battery (reference behavior
+    # is vocab-always-on, ORBVocabulary.cpp:13): the shipped DBoW2-format
+    # vocabulary gates trackReferenceKeyFrame + triangulation searches
+    "circlebow30": ("settings/synthetic_vocab.yaml",
+                    "circle:t_end=30,fps=20", 1.0, 0.15),
 }
 
 

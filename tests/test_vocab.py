@@ -180,3 +180,44 @@ def test_load_dbow2_text_roundtrip(tmp_path):
     # tree descent: word slot = parent_slot*k + child; groups at level 1
     assert list(np.asarray(w)) == [0, 3, 1, 2]
     assert list(np.asarray(g)) == [0, 1, 0, 1]
+
+
+def test_save_dbow2_text_roundtrip(tmp_path):
+    """A trained vocabulary written by save_dbow2_text loads back
+    bit-identical (tree descriptors, idf weights, and routing) — the
+    shipped settings/synthetic_voc.txt artifact relies on this."""
+    from monoorbslam3_tpu.ops.vocab import (
+        Vocabulary, load_dbow2_text, save_dbow2_text,
+    )
+
+    rng = np.random.default_rng(4)
+    descs = rng.integers(0, 2**32, (600, 8), dtype=np.uint32)
+    vocab = Vocabulary.train(descs, k=4, levels=3, group_level=2, seed=1)
+    path = tmp_path / "voc.txt"
+    save_dbow2_text(vocab, str(path))
+    v2 = load_dbow2_text(str(path), group_level=2)
+    assert (v2.k, v2.levels, v2.level_offset) == (
+        vocab.k, vocab.levels, vocab.level_offset)
+    np.testing.assert_array_equal(np.asarray(v2.node_desc),
+                                  np.asarray(vocab.node_desc))
+    np.testing.assert_allclose(np.asarray(v2.word_idf),
+                               np.asarray(vocab.word_idf), atol=1e-5)
+    q = jnp.asarray(descs[:128])
+    ones = jnp.ones(128, bool)
+    w1, g1, _ = vocab.transform(q, ones)
+    w2, g2, _ = v2.transform(q, ones)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_shipped_synthetic_vocabulary_loads():
+    """The settings artifact itself: 512-word tree, sane group fan-out."""
+    import os
+
+    from monoorbslam3_tpu.config import build_vocabulary, load_settings
+
+    base = os.path.join(os.path.dirname(__file__), "..", "settings")
+    settings = load_settings(os.path.join(base, "synthetic_vocab.yaml"))
+    vocab = build_vocabulary(settings, base_dir=base)
+    assert vocab is not None
+    assert vocab.n_words == 512 and vocab.group_level == 2
