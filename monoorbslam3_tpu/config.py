@@ -139,11 +139,22 @@ def build_system(settings_path: str, use_extractor: bool = True,
                                  n_features=n_feat, **ext_args)
         # the reference doubles features during monocular initialization
         # (initial_extractor = new ORBExtractor(2 * nFeatures, ...),
-        # Tracking.cpp:24); init_features_mult <= 1 disables
-        mult = int(cfg.get("init_features_mult", 2))
+        # Tracking.cpp:24); init_features_mult <= 1 disables. DEFAULT OFF:
+        # A/B-measured on the rendered circle world, doubling the per-cell
+        # top-k admits weak corners whose 0.05 s-baseline triangulations
+        # carry 25-45% depth error (bad-depth fraction 18% -> 29%), and
+        # the young map then over-rotates to divergence (STATUS.md r3).
+        # The reference's quadtree re-selects the strongest corner per
+        # region at any capacity, so its 2x setting does not degrade
+        # per-corner quality the same way.
+        mult = int(cfg.get("init_features_mult", 1))
         if mult > 1:
             init_extractor = OrbExtractor(camera.height, camera.width,
                                           n_features=mult * n_feat, **ext_args)
+            # the oversized init population needs the conditioning gate
+            # (tracking.init_max_rel_sigma) to keep its bad-depth fraction
+            # at the 1x level — pair them unless explicitly overridden
+            cfg.setdefault("init_max_rel_sigma", 0.12)
     import os
 
     vocab = build_vocabulary(settings, vocab_path,

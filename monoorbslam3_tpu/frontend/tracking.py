@@ -89,6 +89,11 @@ def _shrink_frame(frame: Frame, priority: np.ndarray, cap: int) -> np.ndarray:
     return idx_map
 
 
+def _rot_angle(M: np.ndarray) -> float:
+    """Geodesic angle (radians) of a rotation matrix."""
+    return float(np.arccos(np.clip((np.trace(M) - 1.0) / 2.0, -1.0, 1.0)))
+
+
 def _orthonormalize(R: np.ndarray) -> np.ndarray:
     """Exact projection of a near-rotation onto SO(3) (host side, 3x3)."""
     U, _, Vt = np.linalg.svd(R.astype(np.float64))
@@ -149,6 +154,18 @@ class Tracking:
         self.view_cos_gate = cfg.get("view_cos_gate", 0.5)
         self.local_pt_cap = cfg.get("local_pt_cap", 4096)
         self.lost_timeout = cfg.get("lost_timeout", 3.0)
+        # initial-map conditioning gate: max relative depth sigma
+        # (sigma_px/f)·z/b of a kept two-view triangulation (see
+        # _create_initial_map). DEFAULT OFF (None): cutting far points
+        # removes the map's rotation anchors — A/B-measured on the
+        # 512x384 image world, the gated (near-only) first map over-
+        # rotates 3 deg/frame against a 1 deg/frame truth. Enable only
+        # for worlds whose init otherwise admits a large bad-depth
+        # population (the 2x-extractor configuration).
+        self.init_max_rel_sigma = cfg.get("init_max_rel_sigma", None)
+        # gyro-consistency gate (radians) on the frame fit's per-frame
+        # rotation vs the preintegrated gyro (see _track_frame)
+        self.gyro_gate = cfg.get("gyro_gate", np.radians(1.5))
         self.scale_factors = cfg.get(
             "scale_factors", np.array([1.2**i for i in range(8)], np.float32)
         )
@@ -163,6 +180,11 @@ class Tracking:
         self.kf_imu_buffer = ImuBuffer()  # samples since last keyframe
         self.velocity_rel = None  # motion model: T_last->T_cur in camera frame
         self.lost_since = None
+        # set after a map gauge rewrite / resume snaps last_frame.state to
+        # a pose from a DIFFERENT timestamp: the next frame's fitted
+        # frame-to-frame rotation is then legitimately gyro-inconsistent,
+        # so the gyro guard skips one frame
+        self._state_jump = False
         self.new_kf_callback = None  # set by System: receives new KF id
         # mapper-idle probe (LocalMapping::acceptKeyFrames analog,
         # Tracking.cpp:543): set by System; None = synchronous mapper,
@@ -301,6 +323,34 @@ class Tracking:
         t21 = np.asarray(out["t"])
         good = np.asarray(out["good"])[: len(feat0)]
         X = np.asarray(out["points"])[: len(feat0)]
+
+        # conditioning gate on the initial map: a consecutive-frame init
+        # pair has ~0.05 s of baseline, so far points triangulate with
+        # relative depth sigma ~ (sigma_px/f)·z/b — measured 25-45% depth
+        # error on the circle world's wall points, and a young map whose
+        # bad-depth fraction crosses ~1/4 sends the frame fits into
+        # progressive rotation divergence (the 2x initial extractor's
+        # weaker corners tipped exactly this: 18% -> 29% bad, dtheta/frame
+        # 1.0 -> 8 deg within 2 s). Keep the well-conditioned population;
+        # if the motion regime leaves too few (forward motion near the
+        # FOE), fall back to the best-conditioned half so bootstrap
+        # remains possible in every regime.
+        # effective sigma_px ~ 2: measured median depth error on the circle
+        # world's init pair is 12.6% where a 0.8 px model predicts 5.4% —
+        # weak-corner localization plus triangulation geometry roughly
+        # double the nominal detector noise
+        if self.init_max_rel_sigma is not None:
+            b = float(np.linalg.norm(t21))
+            z_init = X[:, 2]
+            rel_sigma = (2.0 / float(self.camera.fx)) * z_init / max(b, 1e-9)
+            strong = good & (rel_sigma <= self.init_max_rel_sigma)
+            n_needed = max(60, int(0.5 * int(good.sum())))
+            if int(strong.sum()) < n_needed:
+                order = np.argsort(np.where(good, rel_sigma, np.inf))
+                strong = np.zeros_like(good)
+                strong[order[:n_needed]] = True
+                strong &= good
+            good = strong
 
         # 2x initial extractor: the oversized init frames must shrink to
         # the tracker/store capacity before becoming keyframes — two-view
@@ -471,6 +521,35 @@ class Tracking:
         # coarse stages failed (the wide-radius projection search can
         # re-capture the map from the predicted pose alone)
         ok = self._track_local_map(frame) or (ok and frame.n_tracked >= self.min_track_inliers)
+
+        # gyro-consistency guard (beyond reference — it has no equivalent,
+        # Tracking.cpp accepts any poseOptimize fix): with bad-depth young
+        # points the frame landscape goes multimodal and a converged fit
+        # can land in a wrong basin (measured on fastspin bootstrap:
+        # fitted dR jumps to 8 deg/frame against a gyro-true 2.6, then the
+        # map dies within 3 frames). The raw gyro knows the true rotation
+        # rate to ~0.01 deg/frame; a fit whose frame-to-frame rotation
+        # contradicts it is refit from the gyro-composed prediction.
+        if (ok and not self._state_jump and frame.pre_from_frame is not None
+                and self.last_frame is not None
+                and self.last_frame.state is not None):
+            dR_gyro = np.asarray(frame.pre_from_frame.dR, np.float64)
+            R_last = np.asarray(self.last_frame.state.R_wb, np.float64)
+            dR_fit = R_last.T @ np.asarray(frame.state.R_wb, np.float64)
+            dev = _rot_angle(dR_fit.T @ dR_gyro)
+            gate = max(self.gyro_gate, 0.25 * _rot_angle(dR_gyro))
+            if dev > gate:
+                st = self._predict_state(frame)
+                R_pred = _orthonormalize(R_last @ dR_gyro).astype(np.float32)
+                frame.state = KfState(jnp.asarray(R_pred), st.t_wb, st.v,
+                                      st.bg, st.ba)
+                frame.pt_ids[:] = -1
+                ok = self._track_local_map(frame)
+                if ok:
+                    dR_fit = R_last.T @ np.asarray(frame.state.R_wb,
+                                                   np.float64)
+                    ok = _rot_angle(dR_fit.T @ dR_gyro) <= 2.0 * gate
+        self._state_jump = False
 
         if ok:
             self.state = OK
@@ -645,7 +724,21 @@ class Tracking:
 
     def _harvest_local_points(self, frame: Frame):
         """updateLocalKeyFrames/Points (Tracking.cpp:429-537): points of the
-        covisible neighborhood of the reference KF + recent KFs."""
+        covisible neighborhood of the reference KF + recent KFs.
+
+        The graph-keyed harvest alone goes blind whenever the view sweeps
+        past its covisible neighborhood: under sustained rotation the
+        recent KFs all face BEHIND the sweep, and on a lap revisit the old
+        map dead-ahead is never offered (measured on fastspin: 120-250
+        in-frustum candidates of a 3k-point map, inliers thinning 95 -> 8
+        until a terminal reset). The reference can only pointer-chase
+        covisibility on CPU; here the whole map is one SoA array, so a
+        pose-keyed FRUSTUM harvest — project EVERY point against the
+        predicted pose, one fixed-shape batched op — joins the candidate
+        set, ranked in-view-first. This both re-captures during the
+        IMU-only RECENTLY_LOST bridge and re-attaches the previous lap's
+        landmarks during healthy tracking (the no-loop-closure drift
+        killer)."""
         store = self.store
         kfs = set(store.recent_keyframes(10))
         if self.ref_kf >= 0:
@@ -655,9 +748,16 @@ class Tracking:
         pid_set = store.kf_feat_pt[np.asarray(sorted(kfs), np.int32)]
         pids = np.unique(pid_set[pid_set >= 0])
         pids = pids[store.pt_valid[pids]]
+        _, in_view_all = self._project(frame.state, store.pt_xyz)
+        cand = np.nonzero(in_view_all & store.pt_valid
+                          & (store.pt_n_obs >= 3))[0]
+        pids = np.union1d(pids, cand)
         if len(pids) > self.local_pt_cap:
-            order = np.argsort(-store.pt_n_obs[pids])
-            pids = pids[order[: self.local_pt_cap]]
+            # in-view candidates first (out-of-view ones cannot match
+            # anyway), then by observation count
+            key = in_view_all[pids] * 10_000 + np.minimum(
+                store.pt_n_obs[pids], 9_999)
+            pids = pids[np.argsort(-key)[: self.local_pt_cap]]
         return pids
 
     def _track_local_map(self, frame: Frame) -> bool:
@@ -702,6 +802,14 @@ class Tracking:
         # has drifted a few pixels (a tight radius lets the matched subset
         # cluster and the pose random-walk away from the rest of the map)
         radius = np.maximum(12.0, 4.0 * self.scale_factors[level_pred]).astype(np.float32)
+        if self.state == RECENTLY_LOST and self.lost_since is not None:
+            # during the IMU-only bridge the position error grows with
+            # time-since-loss (double-integrated velocity error): open the
+            # re-capture window accordingly — measured on fastspin, a
+            # fixed radius matched 0-8 of 127-267 in-frustum candidates
+            # for 3.6 s straight while the predicted pose was good
+            radius = radius * float(
+                1.0 + min(4.0, 3.0 * (frame.time - self.lost_since)))
 
         def run_local_match(rad):
             out_idx, _ = projected_match(
@@ -896,6 +1004,7 @@ class Tracking:
             jnp.asarray(self.store.kf_ba[k]),
         )
         self.velocity_rel = None
+        self._state_jump = True
 
     def reset(self):
         self.state = NO_IMAGE

@@ -50,13 +50,15 @@ def test_shrink_frame_noop_within_capacity():
 def test_build_system_creates_init_extractor(tmp_path):
     from monoorbslam3_tpu.config import build_system
 
-    system = build_system("settings/synthetic.yaml")
+    system = build_system("settings/synthetic.yaml",
+                          config_overrides={"init_features_mult": 2})
     assert system.init_extractor is not None
     assert system.init_extractor.n_features == 2 * system.extractor.n_features
+    # the 2x config auto-pairs with the init conditioning gate
+    assert system.tracking.init_max_rel_sigma is not None
 
-    # opt-out knob
-    system2 = build_system("settings/synthetic.yaml",
-                           config_overrides={"init_features_mult": 1})
+    # default off: measured weak-corner depth regression (config.py)
+    system2 = build_system("settings/synthetic.yaml")
     assert system2.init_extractor is None
 
 
@@ -67,7 +69,8 @@ def test_image_init_with_double_extractor():
     from monoorbslam3_tpu.config import build_system
     from monoorbslam3_tpu.runners.synth import SyntheticDataset
 
-    system = build_system("settings/synthetic.yaml")
+    system = build_system("settings/synthetic.yaml",
+                          config_overrides={"init_features_mult": 2})
     dataset = SyntheticDataset("circle:t_end=1.0,fps=10", system.camera,
                                system.calib)
     states = []
