@@ -496,10 +496,13 @@ class Problems:
         else:
             kf, pts, info = schur_ba(problem, self.camera, self.calib.R_cb,
                                      self.calib.t_cb, n_iters=n_iters)
+        n_ie = int(np.asarray(problem.ie_valid).sum())
         with lock:
-            return self._write_back_ba(
+            out = self._write_back_ba(
                 store, kf, pts, info, ids, pids, obs_kf_l, obs_pt_l,
                 opt_ids, opt_points, vb_dofs, remove_outliers)
+        out["n_ie"] = n_ie
+        return out
 
     def _solve_sharded(self, problem, n_iters):
         """Window BA on the device mesh: shard by point, run the
@@ -725,8 +728,25 @@ class Problems:
 
     # -- inertial initialization ----------------------------------------
 
+    # Scale-acceptance gate for the inertial init. The linear alignment's
+    # posterior sigma UNDERSTATES the true error (visual pose noise is
+    # correlated across edges, the whitening is empirical): measured on the
+    # corridor world, sigma_rel 0.211 admitted a scale of 10.86 where the
+    # pre-init gauge demanded 18.3 — a 1.67x error at "2.5 sigma". A wrong
+    # accepted scale is PERMANENT: the full-inertial polish immediately
+    # reshapes the oscillating motion components to metric while the visual
+    # far points hold the old mean gauge, so the map SHEARS, old points
+    # stop projecting anywhere near their features (measured: best-feature
+    # offset 3.5 px pre-init -> 130-260 px after), the long-baseline tether
+    # dies, and the mean gauge random-walks (corridor: local scale 0.6 ->
+    # 0.065 over 40 s, then starvation collapse). No later estimator can
+    # see the error (the refine measured 1.008 +/- 0.003 against truth
+    # 1.67): the only good init is a sharp one — defer until then.
+    INIT_MAX_REL_SIGMA = 0.08
+
     def inertial_optimize(self, store, prior_g=1e6, prior_a=1e12, n_iters=60,
-                          with_scale=True, min_edge_dt=0.2):
+                          with_scale=True, min_edge_dt=0.2,
+                          defer_above=None):
         """Vision-fixed inertial-only init (inertialOptimize): solves per-KF
         velocities, shared bg/ba, gravity direction R_wg, optional log-scale,
         with bias priors. Returns (R_wg, scale, bg, ba) and writes
@@ -778,17 +798,22 @@ class Problems:
         edge = jax.tree_util.tree_map(
             lambda a: np.asarray(a[: K - 1], np.float64),
             self._batch_edges(store, ids, cap=K - 1, bufs=bufs))
+        gate = (self.INIT_MAX_REL_SIGMA if defer_above is None
+                else defer_above)
         out = _inertial_init_host(
             np.asarray(R, np.float64), np.asarray(t, np.float64),
             edge, prior_g, prior_a, with_scale=with_scale, n_iters=n_iters,
-            t_bc=np.asarray(self.calib.t_bc, np.float64))
-        if with_scale and out["scale_sigma_rel"] > 0.25:
-            # scale unobservable (constant-velocity regime): DEFER — more
-            # trajectory usually brings a turn or speed change; applying a
-            # garbage scale rewrites the whole map gauge wrongly
-            log.warning("inertial init deferred: scale unobservable "
-                        "(relative sigma %.2f, estimate %.3f)",
-                        out["scale_sigma_rel"], out["scale"])
+            t_bc=np.asarray(self.calib.t_bc, np.float64),
+            skip_lm_above=(gate if with_scale else None))
+        if with_scale and out["scale_sigma_rel"] > gate:
+            # scale not yet sharply observable: DEFER — more trajectory
+            # brings a turn or speed change; an accepted marginal scale
+            # permanently shears the map gauge (see INIT_MAX_REL_SIGMA)
+            log.warning("inertial init deferred: scale not observable "
+                        "enough (relative sigma %.3f > %.2f, estimate %.3f,"
+                        " span %.1f s)", out["scale_sigma_rel"], gate,
+                        out["scale"],
+                        store.kf_time[ids[-1]] - store.kf_time[ids[0]])
             return None
         R_wg = out["R_wg"].astype(np.float32)
         scale = float(out["scale"])
@@ -873,7 +898,8 @@ def _gravity_r_wg0(g_dir: np.ndarray) -> np.ndarray:
 
 
 def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
-                        with_scale: bool, n_iters: int = 60, t_bc=None):
+                        with_scale: bool, n_iters: int = 60, t_bc=None,
+                        skip_lm_above=None):
     """f64 host LM for the vision-fixed inertial init (EdgeInertialGS
     residuals, G2oTypes.cpp:71-163), seeded by the CLOSED-FORM linear
     visual-inertial alignment: with rotations fixed, the preintegration
@@ -1019,6 +1045,15 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
         g_lin = -dV_sum / max(np.linalg.norm(dV_sum), 1e-9) * 9.8
         v_metric = np.zeros((K, 3))
     R_wg0 = _gravity_r_wg0(g_lin / np.linalg.norm(g_lin))
+    if (with_scale and skip_lm_above is not None
+            and scale_sigma_rel > skip_lm_above):
+        # the caller will defer on this sigma anyway: skip the (host-LM)
+        # refinement — the init is retried at EVERY new keyframe, and the
+        # 60-iteration forward-difference LM is the expensive part
+        return {"v": v_metric / max(s_seed, 1e-9), "bg": bg_seed,
+                "ba": np.zeros(3), "R_wg": R_wg0, "scale": s_seed,
+                "cost0": float("nan"), "cost": float("nan"),
+                "scale_sigma_rel": scale_sigma_rel}
     ls0 = np.log(s_seed)
 
     # --- f64 LM refine over [v_vis(3K), bg(3), ba(3), theta(2), ls?] --

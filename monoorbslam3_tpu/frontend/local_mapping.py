@@ -22,6 +22,7 @@ or from a host thread — the reference's queue boundary, LocalMapping.cpp:
 
 from __future__ import annotations
 
+import logging
 from contextlib import nullcontext
 from functools import partial
 
@@ -32,6 +33,8 @@ import jax.numpy as jnp
 from ..ops import matching
 from ..ops.twoview import triangulate_dlt
 from ..utils import lie
+
+log = logging.getLogger("monoorbslam3_tpu.mapper")
 
 IMU_NOT_INIT = 0
 IMU_INITIALIZED = 1
@@ -481,6 +484,12 @@ class LocalMapping:
         scale = out["scale"]
         if scale < 0.1:  # degenerate init (LocalMapping.cpp:435-439)
             return False
+        log.warning(
+            "inertial init ACCEPTED: scale %.3f (rel sigma %.3f), "
+            "cost %.1f -> %.1f, %d KFs spanning %.1f s",
+            scale, out.get("scale_sigma_rel", float("nan")),
+            out.get("cost0", float("nan")), out.get("cost", float("nan")),
+            store.n_keyframes(), self._kf_span())
         # gauge rewrite: rotate gravity onto -z, scale to metric
         # (Map::applyScaleRotation + Tracking::updateFrameIMU)
         store.apply_scale_rotation(out["R_wg"].T, scale,
@@ -519,11 +528,16 @@ class LocalMapping:
             # marginal excitation can be off by several x (corridor world:
             # 4.3x), and capping the refinement at 2x made that error
             # permanent (round-2 judge finding).
+            est = scale
             if abs(scale - 1.0) < 0.08:
                 scale = 1.0  # dead-band: direction-only (the reference's)
             elif not (0.5 < scale < 2.0) and not (sig_rel < 0.1
                                                   and 0.02 < scale < 50.0):
                 scale = 1.0  # big correction but not confidently observed
+            log.warning(
+                "VI refine: scale est %.3f (rel sigma %.3f) -> applied "
+                "%.3f%s", est, sig_rel, scale,
+                "" if scale != 1.0 else " (direction-only)")
             store.apply_scale_rotation(out["R_wg"].T, scale,
                                        t_bc=np.asarray(self.calib.t_bc))
             self.tracking.update_after_gauge_change()

@@ -802,6 +802,20 @@ class Tracking:
         # has drifted a few pixels (a tight radius lets the matched subset
         # cluster and the pose random-walk away from the rest of the map)
         radius = np.maximum(12.0, 4.0 * self.scale_factors[level_pred]).astype(np.float32)
+        # ... and it must re-capture points whose own DEPTH is uncertain:
+        # a low-parallax triangulation (forward motion: 2-4 deg parallax,
+        # 10-30% depth error) projects off by f*r*dz/z^2 — tens of pixels
+        # within half a second of approach. With a fixed radius such points
+        # match for ~0.3 s and are never re-observed, so window BA never
+        # accrues the baseline that would REPAIR the depth, and the map
+        # keeps no long-baseline tether (measured on the corridor world:
+        # matched-point median age 0.3 s, 97% younger than 2 s; old
+        # in-view points' best-descriptor feature sits 100-260 px from the
+        # projection). Open the search window by the projected depth
+        # uncertainty — the same statistic that down-weights these matches
+        # in the pose fit, so admitting them cannot poison it.
+        sigma_px = self._point_depth_sigma_px_arr(frame, xyz, ids, dist)
+        radius = radius + np.minimum(2.0 * sigma_px, 48.0).astype(np.float32)
         if self.state == RECENTLY_LOST and self.lost_since is not None:
             # during the IMU-only bridge the position error grows with
             # time-since-loss (double-integrated velocity error): open the
@@ -845,6 +859,22 @@ class Tracking:
         store.pt_found[frame.pt_ids[tracked]] += 1
         frame.n_tracked = n_inliers
         return n_inliers >= self.min_track_inliers
+
+    def _point_depth_sigma_px_arr(self, frame: Frame, xyz: np.ndarray,
+                                  ids: np.ndarray,
+                                  dist: np.ndarray) -> np.ndarray:
+        """_point_depth_sigma_px over the padded candidate arrays (reuses
+        the precomputed point->camera distances)."""
+        store = self.store
+        st = frame.state
+        center = np.asarray(st.t_wb) + np.asarray(st.R_wb) @ np.asarray(self.calib.t_bc)
+        ray = (xyz - center) / np.maximum(dist, 1e-9)[:, None]
+        normal = store.pt_normal[np.maximum(ids, 0)]
+        cos_t = np.abs((ray * normal).sum(1))
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t**2, 0.0))
+        f = float(self.camera.fx)
+        sig = store.pt_sigma_z[np.maximum(ids, 0)]
+        return f * sig * sin_t / np.maximum(dist, 1e-6)
 
     def _point_depth_sigma_px(self, frame: Frame, pids: np.ndarray) -> np.ndarray:
         """Per-point extra pixel sigma from the point's along-ray (depth)
