@@ -497,6 +497,32 @@ class Problems:
             kf, pts, info = schur_ba(problem, self.camera, self.calib.R_cb,
                                      self.calib.t_cb, n_iters=n_iters)
         n_ie = int(np.asarray(problem.ie_valid).sum())
+        if float(info["cost0"]) > 1e6:
+            # a window should never START this inconsistent — split the
+            # cost so the offending residual family is visible in the log
+            from .solver import (_inertial_linearize, _vis_residuals,
+                                 _walk_linearize)
+
+            _, c_vis = _vis_residuals(problem, self.camera, self.calib.R_cb,
+                                      self.calib.t_cb, CHI2_MONO)
+            r_ie, *_, c_ie = _inertial_linearize(problem)
+            r_w, *_, c_walk = _walk_linearize(problem)
+            per_edge = (np.asarray(jnp.sum(r_ie * r_ie, -1))
+                        * np.asarray(problem.ie_valid, np.float32))
+            per_walk = (np.asarray(jnp.sum(r_w * r_w, -1))
+                        * np.asarray(problem.walk_valid, np.float32))
+            e_bad = int(per_edge.argmax())
+            i_s, j_s = int(problem.ie_i[e_bad]), int(problem.ie_j[e_bad])
+            dof = np.asarray(problem.kf_dof)
+            log.warning(
+                "window BA: pathological start cost %.3g (vis %.3g, "
+                "inertial %.3g, walk %.3g; %d ie edges; worst edge kf[%d]->"
+                "kf[%d] ie %.3g walk %.3g dt %.2f opt=%d,%d)",
+                float(info["cost0"]), float(c_vis), float(c_ie),
+                float(c_walk), n_ie, ids[i_s], ids[j_s],
+                float(per_edge[e_bad]), float(per_walk[e_bad]),
+                float(problem.ie_edge.dt[e_bad]),
+                int(dof[i_s, 0] > 0), int(dof[j_s, 0] > 0))
         with lock:
             out = self._write_back_ba(
                 store, kf, pts, info, ids, pids, obs_kf_l, obs_pt_l,
@@ -994,47 +1020,138 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
             b_rows.append(rhsV)
         return np.concatenate(A_rows), np.concatenate(b_rows)
 
-    A, b = _align_rows()
-    x_lin, *_ = np.linalg.lstsq(A, b, rcond=None)
-    g_lin = x_lin[3 * K : 3 * K + 3]
+    def _align_rows_inv(g_base=None, tangent=None, inv_s_prev=1.0):
+        """INVERSE-regression alignment (errors-in-variables fix): the
+        noisy measured quantity — the visual displacement dp_vis — sits on
+        the RESPONSE side, and the clean IMU/gravity terms regress 1/s.
+        With dp_vis as a regressor column (the textbook VINS form used by
+        _align_rows) its noise attenuates the scale estimate toward zero:
+        measured on the corridor world the estimate plateaued ~20% low
+        (14-16 against a true 19.8) no matter how much data accrued, and
+        the accepted under-scale permanently sheared the map. Unknowns:
+        [v_visual(3K), w(3) | theta(2), inv_s]; with gravity free, w =
+        inv_s * g is solved as one combined column block (still linear);
+        constrained passes substitute w = G_NORM*(inv_s*ghat +
+        inv_s_prev*Tn theta) (Gauss-Seidel on the bilinear term)."""
+        gcols = 3 if tangent is None else 2
+        ncols = 3 * K + gcols + (0 if tangent is None else 1)
+        A_rows, b_rows = [], []
+        for i in range(E):
+            Rt = Rs[i].T
+            dt = float(dts[i])
+            db_g = bg_seed - edge.bg0[i]
+            dV_c = dV_m[i] + edge.JVg[i] @ db_g
+            dP_c = dP_m[i] + edge.JPg[i] @ db_g
+            dp_vis = Rt @ (ps[i + 1] - ps[i])
+            dp_lever = Rt @ lever[i]  # metric, scale-independent
+            rowP = np.zeros((3, ncols))
+            rowP[:, 3 * i : 3 * i + 3] = Rt * dt
+            if tangent is None:
+                # free pass: w = inv_s * g is its own column block, and
+                # inv_s rides implicitly inside it; the inv_s-scaled IMU
+                # term is approximated with inv_s_prev (refined by the
+                # constrained passes)
+                rowP[:, 3 * K : 3 * K + 3] = 0.5 * dt * dt * Rt
+                rhsP = dp_vis - inv_s_prev * (dP_c - dp_lever)
+            else:
+                rowP[:, 3 * K : 3 * K + 2] = (
+                    0.5 * dt * dt * G_NORM * inv_s_prev * (Rt @ tangent))
+                rowP[:, -1] = (0.5 * dt * dt * G_NORM * (Rt @ g_base)
+                               + dP_c - dp_lever)
+                rhsP = dp_vis
+            A_rows.append(rowP)
+            b_rows.append(rhsP)
+            rowV = np.zeros((3, ncols))
+            rowV[:, 3 * i : 3 * i + 3] = -Rt
+            rowV[:, 3 * (i + 1) : 3 * (i + 1) + 3] = Rt
+            if tangent is None:
+                rowV[:, 3 * K : 3 * K + 3] = -dt * Rt
+                rhsV = inv_s_prev * dV_c
+            else:
+                rowV[:, 3 * K : 3 * K + 2] = (
+                    -dt * G_NORM * inv_s_prev * (Rt @ tangent))
+                rowV[:, -1] = -(dt * G_NORM * (Rt @ g_base) + dV_c)
+                rhsV = np.zeros(3)
+            A_rows.append(rowV)
+            b_rows.append(rhsV)
+        return np.concatenate(A_rows), np.concatenate(b_rows)
+
     scale_sigma_rel = 0.0
-    if np.isfinite(g_lin).all() and np.linalg.norm(g_lin) > 1.0:
-        for _ in range(3):
-            ghat = g_lin / np.linalg.norm(g_lin)
-            a0 = (np.array([1.0, 0.0, 0.0]) if abs(ghat[0]) < 0.9
-                  else np.array([0.0, 1.0, 0.0]))
-            b1 = np.cross(ghat, a0)
-            b1 /= np.linalg.norm(b1)
-            b2 = np.cross(ghat, b1)
-            Tn = np.stack([b1, b2], axis=1)
-            A, b = _align_rows(g_base=G_NORM * ghat, tangent=Tn)
-            x_c, *_ = np.linalg.lstsq(A, b, rcond=None)
-            if not np.isfinite(x_c).all():
+    if with_scale:
+        # free-gravity inverse pass for the direction (iterate once on the
+        # implicit inv_s), then constrained passes for {v, theta, inv_s}
+        inv_s = 1.0
+        g_lin = np.zeros(3)
+        x_lin = np.zeros(3 * K + 3)
+        for _ in range(2):
+            A, b = _align_rows_inv(inv_s_prev=inv_s)
+            x_f, *_ = np.linalg.lstsq(A, b, rcond=None)
+            if not np.isfinite(x_f).all():
                 break
-            g_new = G_NORM * ghat + Tn @ x_c[3 * K : 3 * K + 2]
-            g_lin = G_NORM * g_new / np.linalg.norm(g_new)
-            x_lin = x_c
-        if with_scale:
-            # scale observability: its posterior std from the final
+            w = x_f[3 * K : 3 * K + 3]
+            if np.linalg.norm(w) < 1e-9:
+                break
+            inv_s_new = float(np.linalg.norm(w)) / G_NORM
+            g_lin = w / max(inv_s_new, 1e-12)
+            inv_s = inv_s_new
+            x_lin = x_f
+        if np.isfinite(g_lin).all() and np.linalg.norm(g_lin) > 1.0:
+            for _ in range(3):
+                ghat = g_lin / np.linalg.norm(g_lin)
+                a0 = (np.array([1.0, 0.0, 0.0]) if abs(ghat[0]) < 0.9
+                      else np.array([0.0, 1.0, 0.0]))
+                b1 = np.cross(ghat, a0)
+                b1 /= np.linalg.norm(b1)
+                b2 = np.cross(ghat, b1)
+                Tn = np.stack([b1, b2], axis=1)
+                A, b = _align_rows_inv(g_base=ghat, tangent=Tn,
+                                       inv_s_prev=inv_s)
+                x_c, *_ = np.linalg.lstsq(A, b, rcond=None)
+                if not np.isfinite(x_c).all() or x_c[-1] <= 1e-9:
+                    break
+                inv_s = float(x_c[-1])
+                g_new = G_NORM * (ghat + Tn @ x_c[3 * K : 3 * K + 2])
+                g_lin = G_NORM * g_new / np.linalg.norm(g_new)
+                x_lin = x_c
+            # scale observability: posterior std of inv_s from the final
             # constrained system. Under constant-velocity motion (the
-            # vehicle/KITTI regime) the accelerometer sees only gravity
-            # and the scale column is near-null — lstsq then extrapolates
-            # garbage (measured 225x on the constant-speed corridor; the
-            # reference's damped g2o leaves scale at its seed instead,
-            # Optimize.cpp:104-105,136). Callers defer the init when the
-            # relative sigma is large.
+            # vehicle/KITTI regime) the accelerometer sees only gravity,
+            # the inv_s column is near-null, and lstsq extrapolates
+            # garbage — callers defer the init on a large relative sigma.
             resid = A @ x_lin - b
             dof_n = max(len(b) - A.shape[1], 1)
             resid_var = float(resid @ resid) / dof_n
-            AtA = A.T @ A
             try:
-                cov_ss = float(np.linalg.inv(AtA)[-1, -1]) * resid_var
+                cov_ss = float(np.linalg.inv(A.T @ A)[-1, -1]) * resid_var
                 scale_sigma_rel = float(
-                    np.sqrt(max(cov_ss, 0.0)) / max(abs(x_lin[-1]), 1e-9))
+                    np.sqrt(max(cov_ss, 0.0)) / max(abs(inv_s), 1e-12))
             except np.linalg.LinAlgError:
                 scale_sigma_rel = np.inf
-    s_seed = float(x_lin[-1]) if with_scale else 1.0
-    v_metric = x_lin[: 3 * K].reshape(K, 3)
+        s_seed = 1.0 / inv_s if inv_s > 1e-9 else np.inf
+        v_metric = x_lin[: 3 * K].reshape(K, 3) * (
+            s_seed if np.isfinite(s_seed) else 0.0)
+    else:
+        A, b = _align_rows()
+        x_lin, *_ = np.linalg.lstsq(A, b, rcond=None)
+        g_lin = x_lin[3 * K : 3 * K + 3]
+        if np.isfinite(g_lin).all() and np.linalg.norm(g_lin) > 1.0:
+            for _ in range(3):
+                ghat = g_lin / np.linalg.norm(g_lin)
+                a0 = (np.array([1.0, 0.0, 0.0]) if abs(ghat[0]) < 0.9
+                      else np.array([0.0, 1.0, 0.0]))
+                b1 = np.cross(ghat, a0)
+                b1 /= np.linalg.norm(b1)
+                b2 = np.cross(ghat, b1)
+                Tn = np.stack([b1, b2], axis=1)
+                A, b = _align_rows(g_base=G_NORM * ghat, tangent=Tn)
+                x_c, *_ = np.linalg.lstsq(A, b, rcond=None)
+                if not np.isfinite(x_c).all():
+                    break
+                g_new = G_NORM * ghat + Tn @ x_c[3 * K : 3 * K + 2]
+                g_lin = G_NORM * g_new / np.linalg.norm(g_new)
+                x_lin = x_c
+        s_seed = 1.0
+        v_metric = x_lin[: 3 * K].reshape(K, 3)
     if (not np.isfinite(s_seed) or s_seed < 1e-3
             or not np.isfinite(g_lin).all()
             or np.linalg.norm(g_lin) < 1.0):
@@ -1056,10 +1173,17 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
                 "scale_sigma_rel": scale_sigma_rel}
     ls0 = np.log(s_seed)
 
-    # --- f64 LM refine over [v_vis(3K), bg(3), ba(3), theta(2), ls?] --
+    # --- f64 LM refine over [v_vis(3K), bg(3), ba(3), theta(2)] --------
+    # The LOG-SCALE IS FROZEN at the linear seed: the LM objective has s
+    # multiplying the noisy visual displacements, i.e. the same errors-in-
+    # variables structure the inverse-regression seed was built to avoid —
+    # letting the LM move ls drags the unbiased seed back toward the
+    # attenuated optimum (measured on the corridor: seed 17.9 -> LM 16.3
+    # against a true 19.8). Biases, velocities and the gravity tangent
+    # stay free; they are what the LM is for.
     G_vec = np.array([0.0, 0.0, -9.8])
     sp_g, sp_a = np.sqrt(prior_g), np.sqrt(prior_a)
-    dim = 3 * K + 8 + (1 if with_scale else 0)
+    dim = 3 * K + 8
     bg0_e, ba0_e = edge.bg0, edge.ba0
     JRg, JVg, JVa = edge.JRg, edge.JVg, edge.JVa
     JPg, JPa = edge.JPg, edge.JPa
@@ -1069,12 +1193,11 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
         bg = x[3 * K : 3 * K + 3]
         ba = x[3 * K + 3 : 3 * K + 6]
         theta = x[3 * K + 6 : 3 * K + 8]
-        ls = x[3 * K + 8] if with_scale else 0.0
-        return v, bg, ba, theta, ls
+        return v, bg, ba, theta, 0.0  # ls frozen at the seed (see above)
 
-    def residual(x, L_w):
+    def residual(x, L_w, ls_base=0.0):
         v, bg, ba, theta, ls = unpack(x)
-        s = np.exp(ls)
+        s = np.exp(ls + ls_base)
         R_wg = R_wg0 @ _np_exp_so3(np.array([theta[0], theta[1], 0.0]))
         g = R_wg @ G_vec
         out = np.empty(9 * E + 6)
@@ -1099,12 +1222,9 @@ def _inertial_init_host(R_wb, t_wb, edge: PreintEdge, prior_g, prior_a,
     x[: 3 * K] = (v_metric / s_seed).reshape(-1)
     x[3 * K : 3 * K + 3] = bg_seed
 
-    # fold ls0 into the parametrization by rebasing: s = exp(ls0 + delta)
+    # s = exp(ls0) fixed: rebase by adding ls0 inside the residual's scale
     def residual_rebased(x, L_w):
-        if with_scale:
-            x = x.copy()
-            x[3 * K + 8] += ls0
-        return residual(x, L_w)
+        return residual(x, L_w, ls_base=ls0 if with_scale else 0.0)
 
     # Empirical whitening floor: the IMU-only information treats visual KF
     # pose noise (mm-level in metric once scaled) as hundreds of sigma —

@@ -138,6 +138,26 @@ class PreintEdge(NamedTuple):
     #                      rotation floor washes out the init's bias signal)
     INT_NOISE_V = 8e-3   # (m/s)/s of edge duration
     INT_NOISE_P = 6e-3   # m/s^2 -> sigma_p = kp * dt^2
+    # The discretization error the floor models is ~0.5*|w||f|*dt_sample —
+    # PROPORTIONAL TO THE ROTATION RATE. The constants above were
+    # calibrated on the rotating circle world (|w| ~ 0.5 rad/s); applying
+    # them unscaled to a rotation-free stretch (the corridor/KITTI
+    # forward regime, |w| ~ 0) de-weights the inertial edges ~10x below
+    # what the physics requires, and those edges are the ONLY restoring
+    # force against the mono-VI velocity-gauge leak (inertial edges
+    # measure velocity CHANGES; a slowly contracting velocity chain costs
+    # each edge only drift_rate*dt against sigma_v — measured on the
+    # corridor world: mean-speed gauge halves every ~7 s, old points then
+    # project 100+ px off and the map starves). Scale the floor by the
+    # edge's own measured rotation rate, clamped to [0.1, 1] of the
+    # calibrated value; the sensor-noise covariance underneath is always
+    # retained, so a tight floor can never overstate confidence beyond
+    # the true sensor limit.
+    INT_NOISE_W_REF = 0.5   # rad/s at which the calibrated floor applies
+    # 0.25, not lower: at 0.1 the whitened ev sigma reaches ~0.2 mm/s and
+    # ordinary visual velocity noise turns window starts into 100+ sigma
+    # states — measured cost blowups to 1e7 with the LM unable to descend
+    INT_NOISE_MIN_FRAC = 0.25
 
     @staticmethod
     def from_preintegrated(pre, eps: float = 1e-12):
@@ -145,7 +165,16 @@ class PreintEdge(NamedTuple):
         C9 = pre.C[..., :9, :9]
         C9 = 0.5 * (C9 + jnp.swapaxes(C9, -1, -2))
         dt = pre.dt[..., None]
-        floor = jnp.concatenate([
+        # per-edge rotation rate from the preintegrated dR (trace formula;
+        # arccos-free away from 0 is unnecessary — this is a weight, not a
+        # differentiated quantity, but keep the clamp for JVP safety)
+        tr = (pre.dR[..., 0, 0] + pre.dR[..., 1, 1] + pre.dR[..., 2, 2])
+        cos_th = jnp.clip(0.5 * (tr - 1.0), -1.0 + 1e-6, 1.0 - 1e-6)
+        theta = jnp.arccos(cos_th)
+        rate = theta / jnp.maximum(pre.dt, 1e-3)
+        frac = jnp.clip(rate / PreintEdge.INT_NOISE_W_REF,
+                        PreintEdge.INT_NOISE_MIN_FRAC, 1.0)[..., None]
+        floor = frac ** 2 * jnp.concatenate([
             jnp.broadcast_to((PreintEdge.INT_NOISE_R * dt) ** 2, dt.shape[:-1] + (3,)),
             jnp.broadcast_to((PreintEdge.INT_NOISE_V * dt) ** 2, dt.shape[:-1] + (3,)),
             jnp.broadcast_to((PreintEdge.INT_NOISE_P * dt * dt) ** 2, dt.shape[:-1] + (3,)),

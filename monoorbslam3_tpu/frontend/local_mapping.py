@@ -168,6 +168,10 @@ class LocalMapping:
         # 1 s of the gauge rewrite on the circle-image world)
         self.imu_init_min_span = cfg.get("imu_init_min_span", 2.0)
         self.gravity_refine_delay = cfg.get("gravity_refine_delay", 3.0)
+        # how long after the inertial init a refinement may still APPLY a
+        # scale correction (see refine_gravity: late corrections measure
+        # drift shear, not uniform gauge error)
+        self.scale_correct_window = cfg.get("scale_correct_window", 12.0)
         # periodic visual-inertial maintenance refinement (see
         # refine_gravity): 0 disables. 3 s matches the bias-ramp time
         # constant measured on the circle world (27 -> 272 mm/s^2 ba error
@@ -529,8 +533,24 @@ class LocalMapping:
             # 4.3x), and capping the refinement at 2x made that error
             # permanent (round-2 judge finding).
             est = scale
+            # scale authority expires after the early post-init window: a
+            # LATE scale estimate away from 1.0 almost always measures the
+            # mean-gauge DRIFT of the recent chain against the old map —
+            # a sheared, non-uniform error that a uniform rescale cannot
+            # fix. Applying it inflates the old map instead, and because
+            # the drift persists the next refine fires again: measured on
+            # the 60 s circle battery, 4+ consecutive ~1.1x corrections
+            # after t=40 compounded the exported Horn scale to 1.69x
+            # (round-3 69% scale regression). Early corrections (repairing
+            # a marginal init, e.g. the 1.26x wide-FOV fisheye case) keep
+            # full authority.
+            early = (self.imu_init_time is not None
+                     and store.kf_time[store.keyframe_ids()[-1]]
+                     - self.imu_init_time <= self.scale_correct_window)
             if abs(scale - 1.0) < 0.08:
                 scale = 1.0  # dead-band: direction-only (the reference's)
+            elif not early:
+                scale = 1.0
             elif not (0.5 < scale < 2.0) and not (sig_rel < 0.1
                                                   and 0.02 < scale < 50.0):
                 scale = 1.0  # big correction but not confidently observed
@@ -541,8 +561,14 @@ class LocalMapping:
             store.apply_scale_rotation(out["R_wg"].T, scale,
                                        t_bc=np.asarray(self.calib.t_bc))
             self.tracking.update_after_gauge_change()
-            if scale != 1.0:
-                self.problems.full_inertial_optimize(store)
+            # full-chain VI polish on EVERY maintenance refinement (the
+            # reference's repeated post-init full VI-BA, Optimize.cpp:
+            # 239-442) — not just after scale corrections: the mono-VI
+            # velocity-gauge leak (see residuals.PreintEdge) is invisible
+            # to any single sliding window but costs drift_rate*dt per
+            # edge across the WHOLE chain, so the long-lever polish is
+            # the one solver that can push the mean gauge back
+            self.problems.full_inertial_optimize(store)
         self.imu_state = IMU_FINISHED
         ids = store.keyframe_ids()
         self.last_vi_refine = store.kf_time[ids[-1]] if ids else None

@@ -816,6 +816,22 @@ class Tracking:
         # in the pose fit, so admitting them cannot poison it.
         sigma_px = self._point_depth_sigma_px_arr(frame, xyz, ids, dist)
         radius = radius + np.minimum(2.0 * sigma_px, 48.0).astype(np.float32)
+        # ... and by STALENESS (time since the point's last keyframe
+        # observation): a point that stops matching drifts away from the
+        # live gauge at the mean gauge-drift rate and its projection
+        # offset GROWS with time unobserved — once it exceeds a fixed
+        # radius the point is lost to matching forever, the window BA
+        # loses every long-baseline constraint (anchors and the young
+        # chain end up sharing ZERO observations), and the mono-VI mean
+        # gauge is left unpinned. Growing the radius with staleness keeps
+        # points continuously re-capturable, so BA keeps them consistent
+        # and large offsets never form.
+        obs_t = self.store.kf_time[
+            np.maximum(self.store.pt_obs_kf[np.maximum(ids, 0)], 0)]
+        has_obs = (self.store.pt_obs_kf[np.maximum(ids, 0)] >= 0)
+        last_t = np.where(has_obs, obs_t, frame.time).max(axis=1)
+        staleness = np.maximum(frame.time - last_t, 0.0)
+        radius = radius + np.minimum(25.0 * staleness, 50.0).astype(np.float32)
         if self.state == RECENTLY_LOST and self.lost_since is not None:
             # during the IMU-only bridge the position error grows with
             # time-since-loss (double-integrated velocity error): open the
