@@ -415,12 +415,21 @@ class Problems:
             order_all = store.keyframe_ids()
             succ = {order_all[i]: order_all[i + 1]
                     for i in range(len(order_all) - 1)}
+            opt_set_ie = set(opt_ids)
             for e in range(ne):
                 ie_i[e] = slot[ordered[e]]
                 ie_j[e] = slot[ordered[e + 1]]
                 ie_valid[e] = (store.kf_imu.get(ordered[e]) is not None
                                and store.kf_imu[ordered[e]].n > 0
-                               and succ.get(ordered[e]) == ordered[e + 1])
+                               and succ.get(ordered[e]) == ordered[e + 1]
+                               # an edge between two FIXED anchors has no
+                               # degrees of freedom: it adds a constant
+                               # (often huge — stale anchors straddling a
+                               # gauge drift measured at 1e7 whitened) to
+                               # every cost and nothing to the solution;
+                               # g2o likewise ignores fixed-fixed edges
+                               and (ordered[e] in opt_set_ie
+                                    or ordered[e + 1] in opt_set_ie))
                 dtw = max(store.kf_time[ordered[e + 1]] - store.kf_time[ordered[e]], 1e-3)
                 freq = self.calib.freq
                 wg = np.sqrt(np.asarray(self.calib.cov_walk)[0] * freq * dtw)

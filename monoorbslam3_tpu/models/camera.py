@@ -31,6 +31,62 @@ import jax.numpy as jnp
 _Z_MIN = 1e-6  # guard for points at/behind the camera plane
 
 
+def _distort_normalized(xy, dist):
+    k1, k2, p1, p2, k3 = (dist[i] for i in range(5))
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+# MODULE-LEVEL jitted entry points for the per-frame iterative inversions.
+# These are called EAGERLY once per frame; with the loop body defined
+# inside a method, every call traced a fresh closure and XLA compiled a
+# fresh jit(scan) executable whose mmap'd JIT sections were never
+# reclaimed — the process crept toward vm.max_map_count and LLVM died
+# with 'Cannot allocate memory' (the round-2/3 lowtex 60 s battery
+# crash). A stable function object hits the pjit C++ fast-path cache.
+@jax.jit
+def _undistort_radtan(uv, fx, fy, cx, cy, dist):
+    x0 = (uv[..., 0] - cx) / fx
+    y0 = (uv[..., 1] - cy) / fy
+    xy_d = jnp.stack([x0, y0], axis=-1)
+
+    def step(_, carry):
+        xy, xyd = carry
+        return (xyd - (_distort_normalized(xy, dist) - xy), xyd)
+
+    xy, _ = jax.lax.fori_loop(0, 10, step, (xy_d, xy_d))
+    u = xy[..., 0] * fx + cx
+    v = xy[..., 1] * fy + cy
+    return jnp.stack([u, v], axis=-1)
+
+
+@jax.jit
+def _kb4_unproject_theta(uv, fx, fy, cx, cy, dist):
+    mx = (uv[..., 0] - cx) / fx
+    my = (uv[..., 1] - cy) / fy
+    d = jnp.sqrt(mx * mx + my * my)
+    k1, k2, k3, k4 = (dist[i] for i in range(4))
+
+    def theta_poly(theta):
+        t2 = theta * theta
+        return theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+
+    def newton(_, carry):
+        theta, dd = carry
+        t2 = theta * theta
+        f = theta_poly(theta) - dd
+        fp = 1.0 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + t2 * 9 * k4)))
+        return (theta - f / jnp.maximum(fp, 1e-8), dd)
+
+    theta, _ = jax.lax.fori_loop(0, 10, newton, (d, d))
+    scale = jnp.where(d < 1e-8, 1.0, jnp.tan(theta) / jnp.where(d < 1e-8, 1.0, d))
+    return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+
+
 class Pinhole(NamedTuple):
     """Pinhole + radtan(k1,k2,p1,p2,k3). Static intrinsics pytree."""
 
@@ -98,28 +154,13 @@ class Pinhole(NamedTuple):
 
     def distort_normalized(self, xy: jnp.ndarray) -> jnp.ndarray:
         """Apply radtan to normalized coords [..., 2]."""
-        k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
-        x, y = xy[..., 0], xy[..., 1]
-        r2 = x * x + y * y
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
-        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
-        return jnp.stack([xd, yd], axis=-1)
+        return _distort_normalized(xy, self.dist)
 
-    def undistort_points(self, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
-        """Raw pixels [..., 2] -> ideal pixels [..., 2] by fixed-point inversion."""
-        x0 = (uv[..., 0] - self.cx) / self.fx
-        y0 = (uv[..., 1] - self.cy) / self.fy
-        xy_d = jnp.stack([x0, y0], axis=-1)
-
-        # fixed point: xy <- xy_d - (distort(xy) - xy)
-        def step(_, xy):
-            return xy_d - (self.distort_normalized(xy) - xy)
-
-        xy = jax.lax.fori_loop(0, iters, step, xy_d)
-        u = xy[..., 0] * self.fx + self.cx
-        v = xy[..., 1] * self.fy + self.cy
-        return jnp.stack([u, v], axis=-1)
+    def undistort_points(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Raw pixels [..., 2] -> ideal pixels [..., 2] by fixed-point
+        inversion (module-level jit — see _undistort_radtan)."""
+        return _undistort_radtan(uv, self.fx, self.fy, self.cx, self.cy,
+                                 self.dist)
 
     def uncertainty(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Per-keypoint measurement-scale multiplier (== 1, Pinhole.cpp:55-57)."""
@@ -176,23 +217,12 @@ class Fisheye(NamedTuple):
         J = jax.vmap(jax.jacfwd(fn))(flat)
         return J.reshape(*pc.shape[:-1], 2, 3)
 
-    def unproject_theta(self, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+    def unproject_theta(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Distorted pixels -> unit-depth rays via Newton on the theta poly
-        (reference runs the same 10-iteration Newton, Fisheye.cpp:141-172)."""
-        mx = (uv[..., 0] - self.cx) / self.fx
-        my = (uv[..., 1] - self.cy) / self.fy
-        d = jnp.sqrt(mx * mx + my * my)
-
-        def newton(_, theta):
-            k1, k2, k3, k4 = (self.dist[i] for i in range(4))
-            t2 = theta * theta
-            f = self._theta_poly(theta) - d
-            fp = 1.0 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + t2 * 9 * k4)))
-            return theta - f / jnp.maximum(fp, 1e-8)
-
-        theta = jax.lax.fori_loop(0, iters, newton, d)
-        scale = jnp.where(d < 1e-8, 1.0, jnp.tan(theta) / jnp.where(d < 1e-8, 1.0, d))
-        return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+        (reference runs the same 10-iteration Newton, Fisheye.cpp:141-172;
+        module-level jit — see _kb4_unproject_theta)."""
+        return _kb4_unproject_theta(uv, self.fx, self.fy, self.cx, self.cy,
+                                    self.dist)
 
     def back_project(self, uv: jnp.ndarray) -> jnp.ndarray:
         return self.unproject_theta(uv)
