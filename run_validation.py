@@ -66,11 +66,14 @@ def run_world(name, settings, spec, out_dir):
     dataset.save_ground_truth(gt)
 
     def log(msg):
-        # RSS + device-buffer census per progress line: the round-2 lowtex
-        # run died of a host (LLVM compile) OOM mid-run — keep the memory
-        # story visible in every battery log
-        print(f"{msg} | rss={_rss_mb():.0f}MB live={len(jax.live_arrays())}",
-              flush=True)
+        # RSS + device-buffer census + memory-map count per progress line:
+        # the round-2/3 lowtex runs died of LLVM JIT section exhaustion
+        # (mmap count crept to vm.max_map_count from per-frame recompiles,
+        # NOT heap) — keep the memory story visible in every battery log
+        with open("/proc/self/maps") as f:
+            n_maps = sum(1 for _ in f)
+        print(f"{msg} | rss={_rss_mb():.0f}MB live={len(jax.live_arrays())} "
+              f"maps={n_maps}", flush=True)
 
     t0 = time.perf_counter()
     states = run_sequence(system, dataset, progress_every=100, log=log)
