@@ -844,7 +844,7 @@ class Problems:
             # scale not yet sharply observable: DEFER — more trajectory
             # brings a turn or speed change; an accepted marginal scale
             # permanently shears the map gauge (see INIT_MAX_REL_SIGMA)
-            log.warning("inertial init deferred: scale not observable "
+            log.warning("inertial alignment deferred: scale not observable "
                         "enough (relative sigma %.3f > %.2f, estimate %.3f,"
                         " span %.1f s)", out["scale_sigma_rel"], gate,
                         out["scale"],

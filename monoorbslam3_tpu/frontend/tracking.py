@@ -826,11 +826,15 @@ class Tracking:
         # gauge is left unpinned. Growing the radius with staleness keeps
         # points continuously re-capturable, so BA keeps them consistent
         # and large offsets never form.
-        obs_t = self.store.kf_time[
-            np.maximum(self.store.pt_obs_kf[np.maximum(ids, 0)], 0)]
-        has_obs = (self.store.pt_obs_kf[np.maximum(ids, 0)] >= 0)
-        last_t = np.where(has_obs, obs_t, frame.time).max(axis=1)
-        staleness = np.maximum(frame.time - last_t, 0.0)
+        obs_kf = self.store.pt_obs_kf[np.maximum(ids, 0)]
+        obs_t = self.store.kf_time[np.maximum(obs_kf, 0)]
+        has_obs = obs_kf >= 0
+        # empty observation slots must not count as "observed now" — mask
+        # them to -inf before the row max (a frame.time fill here silently
+        # zeroed staleness for every point with a non-full table)
+        last_t = np.where(has_obs, obs_t, -np.inf).max(axis=1)
+        staleness = np.where(np.isfinite(last_t),
+                             np.maximum(frame.time - last_t, 0.0), 0.0)
         radius = radius + np.minimum(25.0 * staleness, 50.0).astype(np.float32)
         if self.state == RECENTLY_LOST and self.lost_since is not None:
             # during the IMU-only bridge the position error grows with
