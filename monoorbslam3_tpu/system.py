@@ -223,20 +223,25 @@ class System:
 
     def _handle_lost(self, state: int) -> int:
         """LOST -> reset (Tracking.cpp:169-173), with one refinement: a
-        loss BEFORE the inertial init of a map younger than 2 s is a failed
-        BOOTSTRAP, not a lost session — the two-view init accepted a pair
-        that could not sustain tracking (fastspin: a rotation-dominant
-        0.05 s baseline dies within 5 frames). The reference's init would
-        simply have kept retrying without a map; mirror that by retrying
-        the initialization immediately and reporting NOT_INITIALIZED
-        instead of LOST (no established trajectory existed to lose)."""
+        loss BEFORE the inertial init of a young (< 10 s) map is a failed
+        BOOTSTRAP, not a lost session — the monocular-inertial deliverable
+        begins once the metric gauge exists; until then the system is
+        still initializing, and the two-view init can accept a pair that
+        cannot sustain tracking (fastspin: a rotation-dominant 0.05 s
+        baseline dies within 5 frames; lowtex: a degenerate low-texture
+        first map with scale posterior sigma ~200 dies at t=6). The
+        reference's init would have kept retrying without a map; mirror
+        that by retrying the initialization immediately and reporting
+        NOT_INITIALIZED instead of LOST. A pre-init map older than 10 s
+        still counts as a real loss — at that age the vision-only
+        trajectory is itself a deliverable."""
         if state != tracking_mod.LOST:
             return state
         store, mp = self.store, self.mapper
         ids = store.keyframe_ids()
         span = (float(store.kf_time[ids[-1]] - store.kf_time[ids[0]])
                 if len(ids) >= 2 else 0.0)
-        if mp.imu_state == 0 and span < 2.0:
+        if mp.imu_state == 0 and span < 10.0:
             self._do_reset()
             self.tracking.state = tracking_mod.NOT_INITIALIZED
             return tracking_mod.NOT_INITIALIZED
