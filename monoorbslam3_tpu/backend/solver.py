@@ -407,11 +407,13 @@ def _retract_problem(problem: BAProblem, dx_c, dx_l) -> BAProblem:
     return problem._replace(kf=kf, points=pts)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "huber_delta2", "deferred"))
+@partial(jax.jit, static_argnames=("n_iters", "huber_delta2", "deferred",
+                                   "grouped_obs"))
 @f32_matmuls
 def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
              n_iters: int = 10, huber_delta2: float = CHI2_MONO,
-             lambda0: float = 1e-4, deferred: bool = True):
+             lambda0: float = 1e-4, deferred: bool = True,
+             grouped_obs: int = 0):
     """Visual(-inertial) BA with landmark Schur elimination.
 
     Returns (kf [K] KfState, points [P, 3], info dict with final chi2 per
@@ -427,7 +429,16 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
     rare once the iterate is in the LM basin. Measured on v5e (bench
     window, 2026-08-17): 602 vs 491 iters/s at the IDENTICAL converged
     cost; `deferred=False` keeps the 2-candidate parallel-lambda variant.
-    """
+
+    `grouped_obs=opk` (static) declares that the observation axis is laid
+    out as K contiguous per-keyframe blocks of `opk` rows each (i.e.
+    obs_kf[o] == o // opk, padding rows masked by obs_valid). The
+    assembly then skips the [O, K*18] one-hot expansion whose FLOPs grow
+    as O*K^2*18 and instead forms the pose-landmark coupling with a
+    K-batched [opk, P] x [opk, 18] matmul (O*P*18 FLOPs, K-independent) —
+    the enabler for the large-K full-inertial polish
+    (Optimize.cpp:239-442 optimizes ALL keyframes; the flat layout at
+    K=96+ costs hundreds of GFLOPs per iteration)."""
     K = problem.kf_dof.shape[0]
     P = problem.points.shape[0]
 
@@ -437,7 +448,8 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
     # keeps them on the MXU. One-hot entries are bf16-exact, so
     # Precision.HIGH (bf16x3) reproduces the f32 sum exactly: with b_lo=0
     # the passes reduce to (a_hi + a_lo) * b_hi = a * b.
-    Ek = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    if not grouped_obs:
+        Ek = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
     Ep = (problem.obs_pt[:, None] == jnp.arange(P)[None, :]).astype(jnp.float32)
     _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
 
@@ -464,27 +476,47 @@ def schur_ba(problem: BAProblem, camera, R_cb, t_cb,
         Ja = jnp.concatenate([Jc, Jl, -r_v[:, :, None]], -1)  # [O, 2, 10]
         B = jnp.einsum("oik,oil->okl", Ja * w_v[:, None, None], Ja)
         W_o = B[:, :6, 6:9]  # [O, 6, 3]
-        cols = jnp.concatenate([
-            B[:, :6, :6].reshape(O, 36),  # Hc
-            B[:, :6, 9:10].reshape(O, 6),  # bc = -(w Jc)^T r
-            B[:, 6:9, 6:9].reshape(O, 9),  # Hll
-            B[:, 6:9, 9:10].reshape(O, 3),  # bl
-            (Ek[:, :, None] * W_o.reshape(O, 1, 18)).reshape(O, K * 18),
-        ], -1)  # [O, 54 + K*18]
-        SUM = _mm(jnp.concatenate([Ek, Ep], 1).T, cols)  # [K+P, 54+K*18]
-
-        camk = SUM[:K, :42]  # per-KF [Hc(36) | bc(6)]
-        Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
         diag_idx = jnp.arange(K)
+        if grouped_obs:
+            opk = grouped_obs
+            # per-KF camera blocks: plain block reductions (obs rows of KF k
+            # are rows [k*opk, (k+1)*opk))
+            camk = jnp.concatenate([
+                B[:, :6, :6].reshape(O, 36),
+                B[:, :6, 9:10].reshape(O, 6),
+            ], -1).reshape(K, opk, 42).sum(1)
+            # per-point sums via the point one-hot
+            SUMP = _mm(Ep.T, jnp.concatenate([
+                B[:, 6:9, 6:9].reshape(O, 9),
+                B[:, 6:9, 9:10].reshape(O, 3),
+            ], -1))  # [P, 12]
+            Hll = SUMP[:, :9].reshape(P, 3, 3)
+            b_l = SUMP[:, 9:12]
+            # pose-landmark coupling: K-batched matmul, no O x K*18 blowup
+            W_pk = jnp.einsum("kop,kow->pkw", Ep.reshape(K, opk, P),
+                              W_o.reshape(K, opk, 18),
+                              precision=jax.lax.Precision.HIGH)  # [P, K, 18]
+            W_p = W_pk.reshape(P, K, 6, 3).reshape(P, K * 6, 3)
+        else:
+            cols = jnp.concatenate([
+                B[:, :6, :6].reshape(O, 36),  # Hc
+                B[:, :6, 9:10].reshape(O, 6),  # bc = -(w Jc)^T r
+                B[:, 6:9, 6:9].reshape(O, 9),  # Hll
+                B[:, 6:9, 9:10].reshape(O, 3),  # bl
+                (Ek[:, :, None] * W_o.reshape(O, 1, 18)).reshape(O, K * 18),
+            ], -1)  # [O, 54 + K*18]
+            SUM = _mm(jnp.concatenate([Ek, Ep], 1).T, cols)  # [K+P, 54+K*18]
+            camk = SUM[:K, :42]  # per-KF [Hc(36) | bc(6)]
+            Hll = SUM[K:, 42:51].reshape(P, 3, 3)
+            b_l = SUM[K:, 51:54]
+            # dense pose-landmark coupling in [P, K*6, 3] layout; downstream
+            # contractions use dot_general over (p, v) directly, so no large
+            # transposes materialize
+            W_p = SUM[K:, 54:].reshape(P, K * 6, 3)
+
+        Hcc = jnp.zeros((K, K, 15, 15), jnp.float32)
         Hcc = Hcc.at[diag_idx, diag_idx, :6, :6].add(camk[:, :36].reshape(K, 6, 6))
         b_c = jnp.zeros((K, 15), jnp.float32).at[:, :6].set(camk[:, 36:])
-
-        Hll = SUM[K:, 42:51].reshape(P, 3, 3)
-        b_l = SUM[K:, 51:54]
-        # dense pose-landmark coupling in [P, K*6, 3] layout; downstream
-        # contractions use dot_general over (p, v) directly, so no large
-        # transposes materialize
-        W_p = SUM[K:, 54:].reshape(P, K * 6, 3)
 
         # ---- inertial + walk blocks: batch the four (i,i)/(i,j)/(j,i)/
         # (j,j) block products of both edge families into ONE einsum and

@@ -109,7 +109,8 @@ def build_vocabulary(settings: dict, vocab_path: str | None = None,
 def build_system(settings_path: str, use_extractor: bool = True,
                  config_overrides: dict | None = None,
                  vocab_path: str | None = None,
-                 viewer_dir: str | None = None):
+                 viewer_dir: str | None = None,
+                 async_mapper: bool = False):
     """System factory from a settings file (the System constructor analog,
     System.cpp:19-68)."""
     from .ops.orb import OrbExtractor
@@ -161,4 +162,5 @@ def build_system(settings_path: str, use_extractor: bool = True,
                              base_dir=os.path.dirname(
                                  os.path.abspath(settings_path)))
     return System(camera, calib, config=cfg, extractor=extractor, vocab=vocab,
-                  viewer_dir=viewer_dir, init_extractor=init_extractor)
+                  viewer_dir=viewer_dir, init_extractor=init_extractor,
+                  async_mapper=async_mapper)

@@ -25,6 +25,29 @@ def associate(t_est: np.ndarray, t_gt: np.ndarray, max_dt: float = 0.02):
     return np.asarray(ie, int), np.asarray(ig, int)
 
 
+def kitti_associate(t_est: np.ndarray, t_gt: np.ndarray,
+                    max_dt: float = 0.05):
+    """KITTI-style bracketing association (the compare.py:36-60 analog,
+    used by the reference's batch evaluation kitti_result.sh): each
+    estimate timestamp matches the first ground-truth row at-or-after it,
+    falling back to the row just before; ground-truth rows MAY be reused
+    by several estimates (KITTI GPS/OXTS rows are sparser than frames).
+    Vectorized bracketing instead of the reference's index walk. Returns
+    (idx_est, idx_gt)."""
+    t_est = np.asarray(t_est)
+    t_gt = np.asarray(t_gt)
+    j = np.searchsorted(t_gt, t_est)  # first gt >= t
+    j_hi = np.clip(j, 0, len(t_gt) - 1)
+    j_lo = np.clip(j - 1, 0, len(t_gt) - 1)
+    d_hi = np.abs(t_gt[j_hi] - t_est)
+    d_lo = np.abs(t_gt[j_lo] - t_est)
+    # the reference prefers the at-or-after row, then the predecessor
+    use_hi = (j < len(t_gt)) & (d_hi <= max_dt)
+    pick = np.where(use_hi, j_hi, j_lo)
+    ok = use_hi | (d_lo <= max_dt)
+    return np.nonzero(ok)[0], pick[ok]
+
+
 def umeyama_align(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
     """Closed-form similarity aligning src -> dst (compare.py:92-137's Horn
     method, in Umeyama form). Returns (s, R, t) with dst ~= s R src + t."""

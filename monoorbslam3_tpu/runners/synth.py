@@ -42,7 +42,11 @@ def parse_spec(spec: str) -> tuple[str, dict]:
 
 def make_world(name: str, kv: dict):
     """Returns (world, trajectory, default_t_end)."""
-    if name == "circle":
+    if name in ("circle", "noisy"):
+        # `noisy` = the circle world seen through the SENSOR model
+        # (exposure drift + motion blur + photometric noise, applied by
+        # SyntheticDataset) — the deterministic analog of the real camera
+        # artifacts the reference consumes (README.md:66, 95-122)
         traj = Trajectory()
         return ImageWorld(traj=traj), traj, kv.get("t_end", 60.0)
     if name == "fastspin":
@@ -61,7 +65,44 @@ def make_world(name: str, kv: dict):
                                    half_width=kv.get("half_width", 8.0)),
                 traj, kv.get("t_end", 60.0))
     raise ValueError(f"unknown synthetic world {name!r} "
-                     "(circle|fastspin|lowtex|corridor)")
+                     "(circle|fastspin|lowtex|corridor|noisy)")
+
+
+def _conv1d_edge(img: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
+    """Small separable convolution with edge padding (host numpy — the
+    sensor model is part of the validation surface, not the perf path)."""
+    pad = len(kernel) // 2
+    padding = [(pad, pad) if i == axis else (0, 0) for i in range(img.ndim)]
+    ap = np.pad(img, padding, mode="edge")
+    out = np.zeros_like(img)
+    for i, w in enumerate(kernel):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + img.shape[axis])
+        out += w * ap[tuple(sl)]
+    return out
+
+
+def apply_sensor_model(img: np.ndarray, t: float, rng,
+                       noise: float = 6.0, exp_amp: float = 0.35,
+                       exp_period: float = 17.0, blur: float = 0.9):
+    """Camera-artifact model for the `noisy` battery world: slow exposure
+    (gain) drift cycling +-exp_amp, a mild Gaussian blur of sigma `blur`
+    px (the motion-blur stand-in), and Gaussian photometric noise of
+    sigma `noise` gray levels. Real sequences carry all three
+    (README.md:95-122 phone captures; EuRoC machine-hall exposure
+    changes); the clean renderer alone overstates matcher robustness
+    (VERDICT r03 missing #4)."""
+    g = 1.0 + exp_amp * np.sin(2.0 * np.pi * t / exp_period)
+    img = img * g
+    if blur > 0:
+        half = max(1, int(np.ceil(2.0 * blur)))
+        x = np.arange(-half, half + 1, dtype=np.float32)
+        k = np.exp(-0.5 * (x / blur) ** 2)
+        k /= k.sum()
+        img = _conv1d_edge(_conv1d_edge(img, k, 0), k, 1)
+    if noise > 0:
+        img = img + rng.normal(scale=noise, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.float32)
 
 
 class SyntheticDataset:
@@ -77,6 +118,14 @@ class SyntheticDataset:
         name, kv = parse_spec(spec)
         self.world, self.traj, t_end = make_world(name, kv)
         self.name = name
+        # sensor-artifact model (world `noisy`): exposure drift amplitude,
+        # blur sigma [px], photometric noise sigma [gray], spec-overridable
+        self.sensor = None
+        if name == "noisy":
+            self.sensor = dict(noise=kv.get("noise", 6.0),
+                               exp_amp=kv.get("exp_amp", 0.35),
+                               exp_period=kv.get("exp_period", 17.0),
+                               blur=kv.get("blur", 0.9))
         self.t_end = float(kv.get("t_end", t_end))
         self.fps = float(kv.get("fps", fps))
         self.camera = camera
@@ -101,6 +150,8 @@ class SyntheticDataset:
         for t in self.times:
             img = self.world.render(t, self.camera, self.R_bc, self.t_bc,
                                     noise=self.image_noise, rng=rng)
+            if self.sensor is not None:
+                img = apply_sensor_model(img, t, rng, **self.sensor)
             imu = None
             if last_t is not None:
                 g, a, d = self.traj.imu_samples(

@@ -496,3 +496,19 @@ def test_plot_comparison_cli(tmp_path):
     assert 0.02 < by["other"]["rmse"] < 0.1
     assert out.stat().st_size > 0
     assert (tmp_path / "aligned" / "ours_aligned.txt").stat().st_size > 0
+
+
+def test_kitti_associate_bracketing():
+    """kitti_associate (compare.py:36-60 analog): bracketing match that
+    may reuse ground-truth rows (KITTI OXTS rows are sparser than
+    frames), preferring the at-or-after row."""
+    from monoorbslam3_tpu.evaluation.ate import kitti_associate
+
+    t_gt = np.array([0.0, 1.0, 2.0, 3.0])
+    t_est = np.array([0.02, 0.98, 1.04, 2.5, 3.01, 9.0])
+    ie, ig = kitti_associate(t_est, t_gt, max_dt=0.05)
+    # 0.02 -> gt 0.0 (predecessor fallback: next gt 1.0 is too far)
+    # 0.98 -> gt 1.0 (at-or-after), 1.04 -> gt 1.0 (reused predecessor)
+    # 2.5 matches nothing, 3.01 -> gt 3.0, 9.0 matches nothing
+    assert list(ie) == [0, 1, 2, 4]
+    assert list(ig) == [0, 1, 1, 3]

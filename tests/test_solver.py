@@ -430,3 +430,41 @@ def test_inertial_init_recovers_scale_under_visual_noise():
     ang = np.degrees(np.arccos(np.clip(g_est @ g_want, -1, 1)))
     assert ang < 3.0, f"gravity direction off by {ang:.2f} deg"
     assert np.linalg.norm(out["bg"] - bg_true) < 2e-3, out["bg"]
+
+
+def test_schur_ba_grouped_obs_matches_flat():
+    """grouped_obs (per-KF block) assembly solves the same problem as the
+    flat one-hot assembly (solver.schur_ba grouped_obs — the layout the
+    large full-inertial polish uses)."""
+    problem, kf_gt, pts_gt = _build_ba_problem()
+    n_kf = problem.kf_dof.shape[0]
+    obs_kf = np.asarray(problem.obs_kf)
+    counts = np.bincount(obs_kf, minlength=n_kf)
+    opk = int(-(-counts.max() // 8) * 8)
+    O2 = n_kf * opk
+    sel = np.concatenate([np.nonzero(obs_kf == k)[0] for k in range(n_kf)])
+    dst = np.concatenate([k * opk + np.arange(counts[k]) for k in range(n_kf)])
+    o_pt = np.zeros(O2, np.int32)
+    o_uv = np.zeros((O2, 2), np.float32)
+    o_is2 = np.ones(O2, np.float32)
+    o_val = np.zeros(O2, bool)
+    o_pt[dst] = np.asarray(problem.obs_pt)[sel]
+    o_uv[dst] = np.asarray(problem.obs_uv)[sel]
+    o_is2[dst] = np.asarray(problem.obs_inv_sigma2)[sel]
+    o_val[dst] = np.asarray(problem.obs_valid)[sel]
+    grouped = problem._replace(
+        obs_kf=jnp.asarray(np.repeat(np.arange(n_kf, dtype=np.int32), opk)),
+        obs_pt=jnp.asarray(o_pt), obs_uv=jnp.asarray(o_uv),
+        obs_inv_sigma2=jnp.asarray(o_is2), obs_valid=jnp.asarray(o_val))
+
+    kf_f, pts_f, info_f = schur_ba(problem, CAM, R_CB, T_CB, n_iters=10)
+    kf_g, pts_g, info_g = schur_ba(grouped, CAM, R_CB, T_CB, n_iters=10,
+                                   grouped_obs=opk)
+    assert abs(float(info_f["cost"]) - float(info_g["cost"])) < 1e-2 * max(
+        1.0, float(info_f["cost"]))
+    np.testing.assert_allclose(np.asarray(kf_g.t_wb), np.asarray(kf_f.t_wb),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kf_g.R_wb), np.asarray(kf_f.R_wb),
+                               atol=2e-4)
+    perr = np.linalg.norm(np.asarray(pts_g) - np.asarray(pts_f), axis=1)
+    assert np.median(perr) < 5e-3
