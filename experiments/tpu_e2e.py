@@ -144,10 +144,11 @@ def run_world(name, out_dir):
         frame_ms.append((time.perf_counter() - f0) * 1e3)
         if i % 50 == 0:
             rtts.append(probe() * 1e3)
-        if i % 100 == 0:
+        if i % 25 == 0:
+            recent = float(np.mean(frame_ms[-25:]))
             print(f"[{name}] frame {i}/{len(frames)} state={states[-1]} "
                   f"kf={system.store.n_keyframes()} "
-                  f"rtt={rtts[-1]:.2f}ms", flush=True)
+                  f"rtt={rtts[-1]:.2f}ms frame_ms={recent:.0f}", flush=True)
     wall = time.perf_counter() - t_run0
     system.shutdown()
     system.save_keyframe_trajectory(est)

@@ -211,7 +211,8 @@ class Problems:
     def __init__(self, camera, calib: ImuCalib,
                  local_k: int = 32, local_p: int = 2048, local_o: int = 6144,
                  imu_cap: int = 512, mesh=None,
-                 full_k: int = 96, full_p: int = 4096, full_opk: int = 192):
+                 full_k: int = 96, full_p: int = 4096, full_opk: int = 192,
+                 full_polish_mode: str = "grouped"):
         """mesh: optional jax.sharding.Mesh. When set, every window BA
         solves through the DISTRIBUTED Schur pipeline (parallel/
         sharded_ba.py): landmarks + observations sharded by point across
@@ -226,6 +227,11 @@ class Problems:
         # layout, see solver.schur_ba grouped_obs): full_k keyframes,
         # full_p points, full_opk observation rows per keyframe
         self.full_k, self.full_p, self.full_opk = full_k, full_p, full_opk
+        # ablation switch for the over-capacity polish: "grouped" (all-KF
+        # grouped-obs problem), "capped" (round-3 local_k stride subsample,
+        # skipped pairs lose their inertial edge), "off" (no over-capacity
+        # polish at all)
+        self.full_polish_mode = full_polish_mode
         self.imu_cap = imu_cap
         self.mesh = mesh
         self._chi2_jit = None
@@ -297,6 +303,13 @@ class Problems:
             buf = bufs[e] if bufs is not None else store.kf_imu.get(k)
             if buf is None or buf.n == 0:
                 continue
+            if buf.n > self.imu_cap:
+                # merged windows can exceed the preintegration capacity;
+                # silent truncation would leave an edge covering less time
+                # than its keyframe gap (see ImuBuffer.decimated)
+                log.info("preintegration window %d samples > cap %d: "
+                         "time-weighted decimation", buf.n, self.imu_cap)
+                buf = buf.decimated(self.imu_cap)
             gg, aa, dd, mm = buf.padded(self.imu_cap)
             g[e], a[e], d[e], m[e] = gg, aa, dd, mm
             bg[e] = store.kf_bg[k]
@@ -843,6 +856,20 @@ class Problems:
         if len(ids) <= self.local_k:
             opt_ids = ids[1:]  # anchor the first KF
             return self.run_window_ba(store, opt_ids, [ids[0]],
+                                      n_iters=n_iters, inertial=True,
+                                      vb_dofs=True, priors=True)
+        if self.full_polish_mode == "off":
+            return None
+        if self.full_polish_mode == "capped":
+            # round-3 behavior (ablation arm): local_k-capped stride
+            # subsample, skipped pairs simply lose their inertial edge
+            K = self.local_k
+            n_recent = max(K // 2, 4)
+            old, recent = ids[:-n_recent], ids[-n_recent:]
+            keep = np.unique(np.round(
+                np.linspace(0, len(old) - 1, K - n_recent)).astype(np.int64))
+            sub = [old[i] for i in keep] + recent
+            return self.run_window_ba(store, sub[1:], [sub[0]],
                                       n_iters=n_iters, inertial=True,
                                       vb_dofs=True, priors=True)
         K = self.full_k

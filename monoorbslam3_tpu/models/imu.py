@@ -401,6 +401,40 @@ class ImuBuffer:
     def clear(self):
         self.n = 0
 
+    def decimated(self, cap: int) -> "ImuBuffer":
+        """Time-weighted pairwise merge until n <= cap.
+
+        Merged full-polish windows can span many keyframes
+        (problems._merged_windows); `padded` would silently TRUNCATE past
+        the preintegration capacity, leaving an edge whose delta covers
+        less time than the keyframe gap it constrains — a systematically
+        wrong measurement. Merging consecutive samples (dt summed, rates
+        dt-weighted) preserves the integral's span with only a
+        discretization-bandwidth loss, which the rotation-rate-adaptive
+        integration-noise floor already models (residuals.PreintEdge)."""
+        if self.n <= cap:
+            return self
+        out = ImuBuffer(self.capacity)
+        g, a, d, n = self.gyro, self.acc, self.dts, self.n
+        while n > cap:
+            m = n // 2
+            dt2 = d[: 2 * m : 2] + d[1 : 2 * m : 2]
+            w = np.maximum(dt2, 1e-9)[:, None]
+            g2 = (g[: 2 * m : 2] * d[: 2 * m : 2, None]
+                  + g[1 : 2 * m : 2] * d[1 : 2 * m : 2, None]) / w
+            a2 = (a[: 2 * m : 2] * d[: 2 * m : 2, None]
+                  + a[1 : 2 * m : 2] * d[1 : 2 * m : 2, None]) / w
+            if n % 2:
+                g = np.concatenate([g2, g[n - 1 : n]])
+                a = np.concatenate([a2, a[n - 1 : n]])
+                d = np.concatenate([dt2, d[n - 1 : n]])
+                n = m + 1
+            else:
+                g, a, d, n = g2, a2, dt2, m
+        out.gyro[:n], out.acc[:n], out.dts[:n] = g[:n], a[:n], d[:n]
+        out.n = n
+        return out
+
     def padded(self, capacity: int | None = None):
         """Returns (gyro, acc, dts, mask) padded to a power-of-two capacity so
         the preintegration scan compiles for a small set of shapes."""

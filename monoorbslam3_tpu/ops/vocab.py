@@ -28,8 +28,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _popcount_rows(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_to_centers(descs: np.ndarray, centers: np.ndarray,
+                        chunk: int = 16384) -> np.ndarray:
+    """[n, 8]x[k, 8] uint32 -> [n, k] int32 Hamming, chunked byte-LUT
+    popcount: the unpackbits form materializes n*k*256 bytes at once
+    (0.5 GB at corpus scale), this stays at chunk*k*32."""
+    n, k = len(descs), len(centers)
+    out = np.empty((n, k), np.int32)
+    cb = centers.view(np.uint8).reshape(1, k, 32)
+    for s in range(0, n, chunk):
+        db = descs[s:s + chunk].view(np.uint8).reshape(-1, 1, 32)
+        out[s:s + chunk] = _POPCNT8[db ^ cb].sum(-1, dtype=np.int32)
+    return out
 
 
 def _majority_centroid(descs: np.ndarray) -> np.ndarray:
@@ -47,7 +64,7 @@ def _binary_kmeans(descs: np.ndarray, k: int, rng, iters: int = 8):
     centers = descs[rng.choice(n, k, replace=False)]
     assign = np.zeros(n, np.int64)
     for _ in range(iters):
-        d = _popcount_rows(descs[:, None, :] ^ centers[None, :, :])
+        d = _hamming_to_centers(descs, centers)
         new_assign = d.argmin(1)
         if (new_assign == assign).all():
             break
@@ -99,6 +116,16 @@ class Vocabulary(NamedTuple):
             next_groups = {}
             n_level = k**l
             for parent, members in groups.items():
+                if len(members) == 0:
+                    # starved branch: pad every child with the parent's
+                    # descriptor (the loader does the same for missing
+                    # branches) so the complete-tree descent stays sound
+                    pdesc = (node_desc[level_offset[l - 2] + parent]
+                             if l >= 2 else np.zeros(8, np.uint32))
+                    for c in range(k):
+                        node_desc[off + parent * k + c] = pdesc
+                        next_groups[parent * k + c] = members
+                    continue
                 centers, assign = _binary_kmeans(members, k, rng)
                 for c in range(k):
                     slot = parent * k + c
@@ -174,6 +201,16 @@ def _transform_impl(node_desc, word_idf, desc, valid,
     return word, group, bow
 
 
+def _open_text(path: str, mode: str):
+    """Text open with transparent gzip by extension: a reference-scale
+    vocabulary (100k+ leaves, ~14 MB text) ships as a .gz repo artifact."""
+    if str(path).endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, mode + "t")
+    return open(path, mode)
+
+
 def save_dbow2_text(vocab: Vocabulary, path: str):
     """Write a vocabulary in the DBoW2 text format (the ORBvoc.txt layout
     load_dbow2_text parses): header `k L scoring weighting`, then one line
@@ -189,7 +226,7 @@ def save_dbow2_text(vocab: Vocabulary, path: str):
     def file_id(l: int, s: int) -> int:
         return sum(k**j for j in range(1, l)) + s + 1
 
-    with open(path, "w") as f:
+    with _open_text(path, "w") as f:
         f.write(f"{k} {L} 0 0\n")
         for l in range(1, L + 1):
             off = vocab.level_offset[l - 1]
@@ -207,7 +244,7 @@ def load_dbow2_text(path: str, group_level: int = 1) -> Vocabulary:
     header `k L scoring weighting`, then per node: parent is_leaf 32 bytes
     weight). Rebuilds the dense complete-tree layout; missing branches are
     padded with their parent's descriptor."""
-    with open(path) as f:
+    with _open_text(path, "r") as f:
         header = f.readline().split()
         k, levels = int(header[0]), int(header[1])
         n_nodes = sum(k**l for l in range(1, levels + 1))

@@ -66,6 +66,8 @@ class System:
                                  local_k=cfg.get("local_k", 32),
                                  local_p=cfg.get("local_p", 2048),
                                  local_o=cfg.get("local_o", 6144),
+                                 full_polish_mode=cfg.get(
+                                     "full_polish_mode", "grouped"),
                                  mesh=mesh)
         if extractor is not None:
             cfg.setdefault("scale_factors", extractor.scale_factors)

@@ -162,3 +162,39 @@ def test_tree_preintegration_matches_sequential():
         np.testing.assert_allclose(np.asarray(tree.C), np.asarray(seq.C),
                                    rtol=3e-3, atol=1e-12,
                                    err_msg=f"C n={n}")
+
+
+def test_decimated_preserves_integral():
+    """ImuBuffer.decimated halves the sample count but preserves total dt
+    and the preintegrated delta to discretization accuracy (the merged
+    full-polish windows rely on this instead of silent truncation)."""
+    import jax.numpy as jnp
+
+    from monoorbslam3_tpu.models.imu import ImuBuffer, ImuCalib
+
+    calib = ImuCalib.create(
+        R_bc=np.eye(3), t_bc=np.zeros(3), noise_gyro=1.7e-4, noise_acc=2e-3,
+        walk_gyro=2e-5, walk_acc=3e-3, freq=200.0)
+    rng = np.random.default_rng(5)
+    buf = ImuBuffer()
+    # smooth slowly-varying signal at 200 Hz, 6 s -> 1200 samples
+    tgrid = np.arange(1200) * 0.005
+    for i, t in enumerate(tgrid):
+        g = 0.2 * np.sin(0.8 * t + np.arange(3))
+        a = np.array([0.3 * np.cos(0.5 * t), 0.1, 9.8])
+        buf.add(g, a, 0.005)
+    dec = buf.decimated(512)
+    assert dec.n <= 512
+    np.testing.assert_allclose(dec.dts[:dec.n].sum(),
+                               buf.dts[:buf.n].sum(), rtol=1e-5)
+    bg = jnp.zeros(3)
+    ba = jnp.zeros(3)
+    p_full = buf.integrate(bg, ba, calib, capacity=2048)
+    p_dec = dec.integrate(bg, ba, calib, capacity=512)
+    np.testing.assert_allclose(float(p_dec.dt), float(p_full.dt), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_dec.dR), np.asarray(p_full.dR),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(p_dec.dV), np.asarray(p_full.dV),
+                               rtol=0, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(p_dec.dP), np.asarray(p_full.dP),
+                               rtol=4e-3, atol=1e-2)

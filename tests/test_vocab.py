@@ -211,7 +211,9 @@ def test_save_dbow2_text_roundtrip(tmp_path):
 
 
 def test_shipped_synthetic_vocabulary_loads():
-    """The settings artifact itself: 512-word tree, sane group fan-out."""
+    """The settings artifact: the reference-scale 100k-leaf gzipped
+    vocabulary (k=10 L=5, the ORBvoc.txt shape) loads through the same
+    DBoW2 text path, with corpus tf-idf weights present."""
     import os
 
     from monoorbslam3_tpu.config import build_vocabulary, load_settings
@@ -220,4 +222,7 @@ def test_shipped_synthetic_vocabulary_loads():
     settings = load_settings(os.path.join(base, "synthetic_vocab.yaml"))
     vocab = build_vocabulary(settings, base_dir=base)
     assert vocab is not None
-    assert vocab.n_words == 512 and vocab.group_level == 2
+    assert vocab.k == 10 and vocab.levels == 5
+    assert vocab.n_words == 100_000 and vocab.group_level == 1
+    idf = np.asarray(vocab.word_idf)
+    assert (idf > 0).sum() > 50_000  # corpus-trained tf-idf, not uniform
