@@ -161,13 +161,22 @@ def main():
     t_cb = jnp.zeros(3)
     n_iters = 10
 
+    # the production window layout: grouped per-KF observation blocks
+    # (Problems.window_layout default; build_problem lays obs out as
+    # n_kf x obs_per_kf blocks already). Measured 2026-08-20: 723.8 vs
+    # 598.4 iters/s over the flat one-hot assembly at the identical
+    # converged cost (experiments/ba_stage_bench.py).
+    OPK = 192
+
     # converged cost for the honesty check (same optimum as the f64 CPU run)
-    kf, pts, info = schur_ba(problem, cam, R_cb, t_cb, n_iters=n_iters)
+    kf, pts, info = schur_ba(problem, cam, R_cb, t_cb, n_iters=n_iters,
+                             grouped_obs=OPK)
     jax.block_until_ready((kf, pts))
 
     def ba_step(eps):
         pb = problem._replace(points=problem.points + eps)
-        _, pts_out, _ = schur_ba(pb, cam, R_cb, t_cb, n_iters=n_iters)
+        _, pts_out, _ = schur_ba(pb, cam, R_cb, t_cb, n_iters=n_iters,
+                                 grouped_obs=OPK)
         return pts_out
 
     dt = _scan_time_ms(ba_step, reps=40) / 1e3  # see _scan_time_ms

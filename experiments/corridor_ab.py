@@ -31,11 +31,19 @@ def main():
     from monoorbslam3_tpu.runners.datasets import run_sequence
     from monoorbslam3_tpu.runners.synth import SyntheticDataset
 
-    out_dir = f"/tmp/corridor_ab_{mode}"
+    out_dir = "/tmp/corridor_ab_" + mode.replace(":", "_").replace(
+        ",", "_").replace("=", "")
     os.makedirs(out_dir, exist_ok=True)
     est, gt = f"{out_dir}/est.txt", f"{out_dir}/gt.txt"
+    overrides = {}
+    if ":" in mode:  # e.g. grouped:full_k=40
+        mode, rest = mode.split(":", 1)
+        for kv in rest.split(","):
+            k, v = kv.split("=")
+            overrides[k] = int(v)
+    overrides["full_polish_mode"] = mode
     system = build_system("settings/synthetic_forward.yaml",
-                          config_overrides={"full_polish_mode": mode})
+                          config_overrides=overrides)
     dataset = SyntheticDataset(spec, system.camera, system.calib)
     dataset.save_ground_truth(gt)
     t0 = time.perf_counter()

@@ -212,7 +212,8 @@ class Problems:
                  local_k: int = 32, local_p: int = 2048, local_o: int = 6144,
                  imu_cap: int = 512, mesh=None,
                  full_k: int = 96, full_p: int = 4096, full_opk: int = 192,
-                 full_polish_mode: str = "grouped"):
+                 full_polish_mode: str = "grouped",
+                 window_layout: str = "grouped"):
         """mesh: optional jax.sharding.Mesh. When set, every window BA
         solves through the DISTRIBUTED Schur pipeline (parallel/
         sharded_ba.py): landmarks + observations sharded by point across
@@ -232,6 +233,11 @@ class Problems:
         # skipped pairs lose their inertial edge), "off" (no over-capacity
         # polish at all)
         self.full_polish_mode = full_polish_mode
+        # observation layout of the regular window BAs: "flat" (one shared
+        # O axis) or "grouped" (K per-KF blocks of O/K rows — the faster
+        # assembly, see run_window_ba). Accuracy-validated A/B before
+        # flipping the default.
+        self.window_layout = window_layout
         self.imu_cap = imu_cap
         self.mesh = mesh
         self._chi2_jit = None
@@ -553,7 +559,7 @@ class Problems:
                       inertial=False, vb_dofs=False, priors=False,
                       opt_points=True, pose_dofs=True,
                       remove_outliers=True, lock=None,
-                      caps=None, grouped=False, edge_bufs=None):
+                      caps=None, grouped=None, edge_bufs=None):
         """Build, solve, and write back a window BA. Returns info dict.
 
         `lock` (the map_update_mutex analog) is held while READING the
@@ -564,6 +570,15 @@ class Problems:
         into the problem at build time, so concurrent tracker reads see
         either the pre- or post-BA map, never a torn one."""
         lock = lock if lock is not None else nullcontext()
+        if grouped is None:
+            # layout default: the grouped per-KF observation blocks skip
+            # the [O, K*18] one-hot coupling expansion in schur_ba —
+            # measured 723.8 vs 598.4 iters/s at the bench window on v5e
+            # at the IDENTICAL converged cost (experiments/
+            # ba_stage_bench.py, 2026-08-20). Requires O divisible by K.
+            K_, _, O_ = caps if caps is not None else (
+                self.local_k, self.local_p, self.local_o)
+            grouped = (self.window_layout == "grouped" and O_ % K_ == 0)
         with lock:
             problem, ids, pids, (obs_kf_l, obs_pt_l, obs_slot) = \
                 self.build_window_problem(
@@ -613,6 +628,7 @@ class Problems:
                 opt_ids, opt_points, vb_dofs, remove_outliers,
                 obs_slot=obs_slot)
         out["n_ie"] = n_ie
+        out["pids"] = pids  # solved point ids (callers propagate the rest)
         return out
 
     def _solve_sharded(self, problem, n_iters):
@@ -801,11 +817,13 @@ class Problems:
         import jax
 
         K, P, O = self.local_k, self.local_p, self.local_o
-        problem = self._dummy_problem(K, P, O)
+        wg = self.window_layout == "grouped" and O % K == 0
+        problem = self._dummy_problem(K, P, O, grouped=wg)
         outs = []
         for n in ba_iters:
             outs.append(schur_ba(problem, self.camera, self.calib.R_cb,
-                                 self.calib.t_cb, n_iters=n)[1])
+                                 self.calib.t_cb, n_iters=n,
+                                 grouped_obs=O // K if wg else 0)[1])
         if warm_full and self.mesh is None:
             big = self._dummy_problem(self.full_k, self.full_p,
                                       self.full_k * self.full_opk,
@@ -855,9 +873,15 @@ class Problems:
         ids = store.keyframe_ids()
         if len(ids) <= self.local_k:
             opt_ids = ids[1:]  # anchor the first KF
-            return self.run_window_ba(store, opt_ids, [ids[0]],
-                                      n_iters=n_iters, inertial=True,
-                                      vb_dofs=True, priors=True)
+            snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
+                    for k in ids}
+            out = self.run_window_ba(store, opt_ids, [ids[0]],
+                                     n_iters=n_iters, inertial=True,
+                                     vb_dofs=True, priors=True)
+            if out is not None:
+                self._propagate_point_correction(store, snap,
+                                                 out.get("pids"))
+            return out
         if self.full_polish_mode == "off":
             return None
         if self.full_polish_mode == "capped":
@@ -883,8 +907,16 @@ class Problems:
             log.info("full inertial BA: %d KFs exceed capacity %d, "
                      "stride-subsampling the %d oldest (merged IMU edges)",
                      len(ids), K, len(old))
-        bufs = self._merged_windows(store, sel)
-        snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy()) for k in sel}
+        # ablation arm grouped_nomerge: the big grouped problem WITHOUT
+        # merged edges (non-successor subsampled pairs lose their inertial
+        # edge, like the capped round-3 polish)
+        bufs = (None if self.full_polish_mode == "grouped_nomerge"
+                else self._merged_windows(store, sel))
+        # snapshot EVERY keyframe pose: corrections for skipped KFs AND
+        # for the points the capacity-bounded problem could not include
+        # are derived from old-vs-new poses after the solve
+        snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
+                for k in ids}
         out = self.run_window_ba(
             store, sel[1:], [sel[0]], n_iters=n_iters, inertial=True,
             vb_dofs=True, priors=True,
@@ -892,6 +924,7 @@ class Problems:
             edge_bufs=bufs)
         if len(sel) < len(ids):
             self._propagate_polish_correction(store, ids, sel, snap)
+        self._propagate_point_correction(store, snap, out.get("pids"))
         return out
 
     def _propagate_polish_correction(self, store, ids, sel, snap):
@@ -916,6 +949,44 @@ class Problems:
             store.kf_v[k] = R_c @ store.kf_v[k]
             store.kf_bg[k] = store.kf_bg[nb].copy()
             store.kf_ba[k] = store.kf_ba[nb].copy()
+
+    def _propagate_point_correction(self, store, snap, solved_pids):
+        """Transform every valid map point the capacity-bounded polish
+        could NOT include by its reference (first-observer) keyframe's
+        SE(3) correction — the fixed-capacity analog of the reference's
+        all-points fullInertialOptimize (Optimize.cpp:239-442 includes
+        EVERY MapPoint; leaving the excluded half stale after a whole-map
+        pose rewrite makes the live matching set fight the polished
+        poses, measured on corridor60 as progressive gauge contraction
+        to 1/2.9 — the round-4 grouped-polish regression)."""
+        pids_all = np.nonzero(store.pt_valid)[0]
+        if solved_pids is not None and len(solved_pids):
+            stale = pids_all[~np.isin(pids_all, solved_pids)]
+        else:
+            stale = pids_all
+        if len(stale) == 0:
+            return
+        refk = store.pt_obs_kf[stale, 0]
+        ok = refk >= 0
+        stale, refk = stale[ok], refk[ok]
+        # per-KF corrections new ∘ old^-1 in one batched pass
+        kf_ids = np.unique(refk)
+        R_c = np.zeros((store.max_kf, 3, 3), np.float32)
+        t_o = np.zeros((store.max_kf, 3), np.float32)
+        t_n = np.zeros((store.max_kf, 3), np.float32)
+        has = np.zeros(store.max_kf, bool)
+        for k in kf_ids:
+            if k not in snap:
+                continue
+            R_old, t_old = snap[k]
+            R_c[k] = store.kf_R[k] @ R_old.T
+            t_o[k], t_n[k] = t_old, store.kf_t[k]
+            has[k] = True
+        use = has[refk]
+        stale, refk = stale[use], refk[use]
+        x = store.pt_xyz[stale]
+        store.pt_xyz[stale] = (
+            np.einsum("pij,pj->pi", R_c[refk], x - t_o[refk]) + t_n[refk])
 
     # -- inertial initialization ----------------------------------------
 

@@ -68,6 +68,9 @@ class System:
                                  local_o=cfg.get("local_o", 6144),
                                  full_polish_mode=cfg.get(
                                      "full_polish_mode", "grouped"),
+                                 full_k=cfg.get("full_k", 96),
+                                 window_layout=cfg.get(
+                                     "window_layout", "grouped"),
                                  mesh=mesh)
         if extractor is not None:
             cfg.setdefault("scale_factors", extractor.scale_factors)
