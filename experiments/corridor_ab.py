@@ -36,11 +36,14 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     est, gt = f"{out_dir}/est.txt", f"{out_dir}/gt.txt"
     overrides = {}
-    if ":" in mode:  # e.g. grouped:full_k=40
+    if ":" in mode:  # e.g. grouped:full_k=40,window_layout=flat
         mode, rest = mode.split(":", 1)
         for kv in rest.split(","):
             k, v = kv.split("=")
-            overrides[k] = int(v)
+            try:
+                overrides[k] = int(v)
+            except ValueError:
+                overrides[k] = v
     overrides["full_polish_mode"] = mode
     system = build_system("settings/synthetic_forward.yaml",
                           config_overrides=overrides)

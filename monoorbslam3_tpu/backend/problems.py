@@ -212,7 +212,7 @@ class Problems:
                  local_k: int = 32, local_p: int = 2048, local_o: int = 6144,
                  imu_cap: int = 512, mesh=None,
                  full_k: int = 96, full_p: int = 4096, full_opk: int = 192,
-                 full_polish_mode: str = "grouped",
+                 full_polish_mode: str = "hybrid",
                  window_layout: str = "grouped"):
         """mesh: optional jax.sharding.Mesh. When set, every window BA
         solves through the DISTRIBUTED Schur pipeline (parallel/
@@ -228,10 +228,20 @@ class Problems:
         # layout, see solver.schur_ba grouped_obs): full_k keyframes,
         # full_p points, full_opk observation rows per keyframe
         self.full_k, self.full_p, self.full_opk = full_k, full_p, full_opk
-        # ablation switch for the over-capacity polish: "grouped" (all-KF
-        # grouped-obs problem), "capped" (round-3 local_k stride subsample,
-        # skipped pairs lose their inertial edge), "off" (no over-capacity
-        # polish at all)
+        # over-capacity polish mode:
+        # - "hybrid" (default): the grouped all-KF problem while the
+        #   session fits full_k keyframes (surgically validated healthy —
+        #   experiments/polish_surgery.py: 3 polishes at 67 KFs improve
+        #   ATE 266 -> 234 cm with the last-third gauge recovering), and
+        #   the round-3 capped stride-subsample beyond full_k;
+        # - "grouped": the all-KF + merged-edge + correction-propagation
+        #   path at EVERY size. KNOWN REGRESSED past full_k on forward
+        #   motion: corridor60 27.8-30.3 m / ~100% scale err vs capped
+        #   2.9 m (A/B record in STATUS.md r04); the defect is isolated
+        #   to the >full_k machinery (stride+merge+propagation), not the
+        #   grouped solve itself;
+        # - "capped": round-3 behavior at every over-capacity size;
+        # - "grouped_nomerge", "off": ablation arms.
         self.full_polish_mode = full_polish_mode
         # observation layout of the regular window BAs: "flat" (one shared
         # O axis) or "grouped" (K per-KF blocks of O/K rows — the faster
@@ -328,7 +338,7 @@ class Problems:
                              inertial=False, opt_points=True,
                              pose_dofs=True, vb_dofs=False,
                              priors=False, caps=None, grouped=False,
-                             edge_bufs=None):
+                             edge_bufs=None, fixed_vb_free=False):
         """Assemble a fixed-capacity BAProblem from a MapStore window.
 
         caps: optional (K, P, O) capacity override (default local_*).
@@ -362,6 +372,18 @@ class Problems:
                     dof[i, :6] = 1.0
                 if vb_dofs:
                     dof[i, 6:15] = 1.0
+            elif vb_dofs and fixed_vb_free:
+                # anchor keyframes pin the GAUGE, which lives in the pose
+                # dims alone; velocity/bias are not gauge freedoms, and
+                # freezing them turns a badly-initialized anchor velocity
+                # (the init interpolates skipped-KF velocities, and the
+                # first sub-min_edge_dt KFs are poorly constrained) into
+                # an immovable ~1e7 whitened inertial edge the polish
+                # must bend the young chain around (measured on every
+                # corridor run: kf[0]->kf[1] start cost 1.35e7). The
+                # reference fixes KF0's velocity too (Optimize.cpp:265)
+                # but ITS init estimates every KF velocity directly.
+                dof[i, 6:15] = 1.0
 
         # points observed by the window
         feat_pt = store.kf_feat_pt[np.asarray(ids)]
@@ -559,7 +581,8 @@ class Problems:
                       inertial=False, vb_dofs=False, priors=False,
                       opt_points=True, pose_dofs=True,
                       remove_outliers=True, lock=None,
-                      caps=None, grouped=None, edge_bufs=None):
+                      caps=None, grouped=None, edge_bufs=None,
+                      fixed_vb_free=False):
         """Build, solve, and write back a window BA. Returns info dict.
 
         `lock` (the map_update_mutex analog) is held while READING the
@@ -586,6 +609,7 @@ class Problems:
                     opt_points=opt_points, pose_dofs=pose_dofs,
                     vb_dofs=vb_dofs, priors=priors, caps=caps,
                     grouped=grouped, edge_bufs=edge_bufs,
+                    fixed_vb_free=fixed_vb_free,
                 )
         if self.mesh is not None:
             kf, pts, info = self._solve_sharded(problem, n_iters)
@@ -877,14 +901,16 @@ class Problems:
                     for k in ids}
             out = self.run_window_ba(store, opt_ids, [ids[0]],
                                      n_iters=n_iters, inertial=True,
-                                     vb_dofs=True, priors=True)
+                                     vb_dofs=True, priors=True,
+                                     fixed_vb_free=True)
             if out is not None:
                 self._propagate_point_correction(store, snap,
                                                  out.get("pids"))
             return out
         if self.full_polish_mode == "off":
             return None
-        if self.full_polish_mode == "capped":
+        if self.full_polish_mode == "capped" or (
+                self.full_polish_mode == "hybrid" and len(ids) > self.full_k):
             # round-3 behavior (ablation arm): local_k-capped stride
             # subsample, skipped pairs simply lose their inertial edge
             K = self.local_k
@@ -895,7 +921,8 @@ class Problems:
             sub = [old[i] for i in keep] + recent
             return self.run_window_ba(store, sub[1:], [sub[0]],
                                       n_iters=n_iters, inertial=True,
-                                      vb_dofs=True, priors=True)
+                                      vb_dofs=True, priors=True,
+                                      fixed_vb_free=True)
         K = self.full_k
         sel = ids
         if len(ids) > K:
@@ -919,7 +946,7 @@ class Problems:
                 for k in ids}
         out = self.run_window_ba(
             store, sel[1:], [sel[0]], n_iters=n_iters, inertial=True,
-            vb_dofs=True, priors=True,
+            vb_dofs=True, priors=True, fixed_vb_free=True,
             caps=(K, self.full_p, K * self.full_opk), grouped=True,
             edge_bufs=bufs)
         if len(sel) < len(ids):
