@@ -92,7 +92,7 @@ def rtt_probe_fn():
     return probe
 
 
-def run_world(name, out_dir):
+def run_world(name, out_dir, sync=False):
     import jax
 
     from monoorbslam3_tpu.config import build_system
@@ -103,8 +103,10 @@ def run_world(name, out_dir):
     est = os.path.join(out_dir, f"{name}_tpu_est.txt")
     gt = os.path.join(out_dir, f"{name}_tpu_gt.txt")
     # async mapper: the reference's pipelined two-thread topology
-    # (System.cpp:55); KF backpressure + idle gating live.
-    system = build_system(settings, async_mapper=True)
+    # (System.cpp:55); KF backpressure + idle gating live. --sync runs
+    # the deterministic synchronous mapper instead (the corridor init
+    # defer-cycled under async interleaving at tunnel pacing, r04).
+    system = build_system(settings, async_mapper=not sync)
     dataset = SyntheticDataset(spec, system.camera, system.calib)
     dataset.save_ground_truth(gt)
 
@@ -159,6 +161,7 @@ def run_world(name, out_dir):
     frame_ms = np.asarray(frame_ms)
     row = {
         "world": name, "spec": spec, "device": str(jax.devices()[0]),
+        "mapper": "sync" if sync else "async",
         "frames": len(frames), "wall_s": round(wall, 2),
         "fps": round(fps, 2), "camera_fps": cam_fps,
         "realtime_factor": round(fps / cam_fps, 2),
@@ -188,10 +191,17 @@ def main(argv=None):
     ap.add_argument("--worlds", default="circle60,corridor60")
     ap.add_argument("--out", default="TPU_E2E_r04.json")
     ap.add_argument("--out-dir", default="/tmp/tpu_e2e")
+    ap.add_argument("--sync", action="store_true")
+    ap.add_argument("--append", action="store_true",
+                    help="merge rows into an existing --out artifact")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    rows = [run_world(n, args.out_dir) for n in args.worlds.split(",")]
+    rows = [run_world(n, args.out_dir, sync=args.sync)
+            for n in args.worlds.split(",")]
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f) + rows
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {args.out}")
