@@ -213,7 +213,7 @@ class Problems:
                  imu_cap: int = 512, mesh=None,
                  full_k: int = 96, full_p: int = 4096, full_opk: int = 192,
                  full_polish_mode: str = "hybrid",
-                 window_layout: str = "grouped"):
+                 window_layout: str = "flat"):
         """mesh: optional jax.sharding.Mesh. When set, every window BA
         solves through the DISTRIBUTED Schur pipeline (parallel/
         sharded_ba.py): landmarks + observations sharded by point across
@@ -244,9 +244,18 @@ class Problems:
         # - "grouped_nomerge", "off": ablation arms.
         self.full_polish_mode = full_polish_mode
         # observation layout of the regular window BAs: "flat" (one shared
-        # O axis) or "grouped" (K per-KF blocks of O/K rows — the faster
-        # assembly, see run_window_ba). Accuracy-validated A/B before
-        # flipping the default.
+        # O axis, stratified subsample across the concatenation) or
+        # "grouped" (K per-KF blocks of O/K rows — the faster assembly).
+        # FLAT IS THE PRODUCTION DEFAULT for the sliding window: the
+        # grouped per-KF cap truncates exactly the dense lap-closure
+        # anchor observations the gauge depends on (battery A/B
+        # 2026-08-20: circle60 169 cm / 12.2% grouped vs 10.8 cm / 0.7%
+        # flat; corridor/lowtex unaffected) — the round-2 anchor-
+        # truncation failure class in a new guise. The FULL POLISH keeps
+        # the grouped layout (explicit grouped=True): at K=96 the flat
+        # one-hot assembly is prohibitive, per-KF caps there are benign
+        # (192 rows/KF over a 4096-point subsample), and the mode is
+        # surgery-validated.
         self.window_layout = window_layout
         self.imu_cap = imu_cap
         self.mesh = mesh

@@ -70,7 +70,7 @@ class System:
                                      "full_polish_mode", "hybrid"),
                                  full_k=cfg.get("full_k", 96),
                                  window_layout=cfg.get(
-                                     "window_layout", "grouped"),
+                                     "window_layout", "flat"),
                                  mesh=mesh)
         if extractor is not None:
             cfg.setdefault("scale_factors", extractor.scale_factors)
