@@ -33,6 +33,7 @@ log = logging.getLogger("monoorbslam3_tpu.backend")
 
 from ..models.imu import ImuCalib, preintegrate
 from ..utils import lie
+from ..utils.fetch import fetch
 from ..utils.precision import f32_matmuls
 from . import residuals as res
 from . import solver
@@ -274,13 +275,14 @@ class Problems:
         """Visual-only frame pose (poseOptimize). Returns (state, inliers)."""
         dummy_edge = _identity_edge()
         z = KfState.zeros()
-        state, inlier = _pose_optimize_impl(
+        out = _pose_optimize_impl(
             state0, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(inv_sigma2),
             jnp.asarray(valid), self.camera, self.calib.R_cb, self.calib.t_cb,
             dummy_edge, z, jnp.float32(0.0), z, jnp.zeros(9, jnp.float32),
             use_inertial=False, use_prior=False,
         )
-        return state, np.asarray(inlier)
+        state, inlier = fetch(out)  # one sync point for both outputs
+        return KfState(*state), inlier
 
     def pose_full_optimize(self, state0: KfState, pts, uv, inv_sigma2, valid,
                            last_state: KfState, pre, prior_inv_sigma=None,
@@ -291,13 +293,14 @@ class Problems:
         use_prior = prior_inv_sigma is not None
         prior_ref = prior_ref if prior_ref is not None else state0
         pis = jnp.asarray(prior_inv_sigma, jnp.float32) if use_prior else jnp.zeros(9, jnp.float32)
-        state, inlier = _pose_optimize_impl(
+        out = _pose_optimize_impl(
             state0, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(inv_sigma2),
             jnp.asarray(valid), self.camera, self.calib.R_cb, self.calib.t_cb,
             edge, last_state, jnp.float32(1.0), prior_ref, pis,
             use_inertial=True, use_prior=use_prior,
         )
-        return state, np.asarray(inlier)
+        state, inlier = fetch(out)
+        return KfState(*state), inlier
 
     # -- BA problems ----------------------------------------------------
 

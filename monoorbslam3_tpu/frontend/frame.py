@@ -41,6 +41,9 @@ class Frame:
     # preintegration from the previous frame / keyframe
     pre_from_frame: Preintegrated | None = None
     pre_from_kf: Preintegrated | None = None
+    # bias-corrected (dR, dV, dP) of pre_from_kf, fetched with the frame's
+    # single sync-A read (tracking.track_feats) for host-side prediction
+    _pred_deltas: tuple | None = None
     ref_kf: int = -1
     n_tracked: int = 0
 
@@ -53,27 +56,56 @@ class Frame:
         return int(self.valid.sum())
 
 
-def features_from_extractor(out, camera, scale_factors) -> dict:
-    """Convert OrbExtractor output (device dict) into host feature arrays,
-    applying keypoint undistortion (Frame.cpp:28) and per-level measurement
-    variance (kp-size scaling by camera uncertainty, Frame.cpp:24-26)."""
+def _finish_features_impl(out, camera, scale_factors):
+    """Device-side feature finishing: undistortion (Frame.cpp:28) +
+    per-level measurement variance (kp-size scaling by camera uncertainty,
+    Frame.cpp:24-26). Jitted once at module level so the whole extractor ->
+    finish chain dispatches with ZERO intermediate host reads (the round-5
+    sync-point work, utils/fetch.py)."""
     import jax.numpy as jnp
 
-    xy_raw = np.asarray(out["xy"])
-    level = np.asarray(out["level"])
-    valid = np.asarray(out["valid"])
-    und = np.asarray(camera.undistort_points(jnp.asarray(xy_raw, jnp.float32)))
-    unc = np.asarray(camera.uncertainty(jnp.asarray(xy_raw, jnp.float32)))
+    xy_raw = jnp.asarray(out["xy"], jnp.float32)
+    level = jnp.asarray(out["level"], jnp.int32)
+    und = camera.undistort_points(xy_raw)
+    unc = camera.uncertainty(xy_raw)
     sigma2 = (scale_factors[level] * unc) ** 2
     return {
-        "xy": und.astype(np.float32),
-        "xy_raw": xy_raw.astype(np.float32),
-        "level": level.astype(np.int32),
-        "angle": np.asarray(out["angle"]).astype(np.float32),
-        "desc": np.asarray(out["desc"]).astype(np.uint32),
-        "valid": valid,
-        "sigma2": sigma2.astype(np.float32),
+        "xy": und,
+        "xy_raw": xy_raw,
+        "level": level,
+        "angle": jnp.asarray(out["angle"], jnp.float32),
+        "desc": jnp.asarray(out["desc"], jnp.uint32),
+        "valid": out["valid"],
+        "sigma2": sigma2,
     }
+
+
+def finish_features(out, camera, scale_factors) -> dict:
+    """Dispatch the feature-finishing chain; returns DEVICE arrays (no
+    sync). Fetch happens once per frame in Tracking.track."""
+    import jax
+
+    global _finish_jit
+    if _finish_jit is None:
+        _finish_jit = jax.jit(_finish_features_impl)
+    return _finish_jit(out, camera, np.asarray(scale_factors, np.float32))
+
+
+_finish_jit = None
+
+
+def features_from_extractor(out, camera, scale_factors) -> dict:
+    """Host-array version of finish_features (one blocking fetch). Kept
+    for the deterministic/offline callers; the live System path stays on
+    device until the per-frame fetch."""
+    from ..utils.fetch import fetch
+
+    feats = fetch(finish_features(out, camera, scale_factors))
+    feats["xy"] = feats["xy"].astype(np.float32)
+    feats["desc"] = feats["desc"].astype(np.uint32)
+    feats["level"] = feats["level"].astype(np.int32)
+    feats["sigma2"] = feats["sigma2"].astype(np.float32)
+    return feats
 
 
 def make_frame(time: float, feats: dict) -> Frame:

@@ -20,13 +20,16 @@ import jax
 import jax.numpy as jnp
 
 from ..backend import residuals as res
+from ..backend.problems import _identity_edge, _pose_optimize_impl
 from ..backend.residuals import KfState
+from ..models.camera import project_np
 from ..models.imu import GRAVITY_VALUE, ImuBuffer
 from ..ops import matching
 from ..ops.match_pallas import projected_match
 from ..ops.twoview import reconstruct_two_views
 from ..utils import lie
-from .frame import Frame
+from ..utils.fetch import fetch
+from .frame import Frame, make_frame
 
 G_W = np.array([0.0, 0.0, -GRAVITY_VALUE], np.float32)
 
@@ -55,6 +58,131 @@ def _project_points(R_wb, t_wb, R_cb, t_cb, xyz, camera):
     uv = camera.project(pc)
     ok = (pc[:, 2] > 0.05) & camera.is_in_image(uv)
     return uv, ok
+
+
+def _scatter_by_feature(idx, hit, n_feat, cand_xyz, cand_extra2):
+    """Scatter per-candidate match results into per-feature problem rows.
+    Mutual-NN matching guarantees each feature is hit by <= 1 candidate;
+    unmatched candidates write the dropped overflow row."""
+    P = cand_xyz.shape[0]
+    f_t = jnp.where(hit, idx, n_feat)
+    pts = jnp.zeros((n_feat + 1, 3), jnp.float32).at[f_t].set(cand_xyz)[:n_feat]
+    extra2 = jnp.zeros(n_feat + 1, jnp.float32).at[f_t].set(cand_extra2)[:n_feat]
+    vo = jnp.zeros(n_feat + 1, bool).at[f_t].set(hit)[:n_feat]
+    ci = jnp.full(n_feat + 1, -1, jnp.int32).at[f_t].set(
+        jnp.arange(P, dtype=jnp.int32))[:n_feat]
+    return pts, extra2, vo, jnp.where(vo, ci, -1)
+
+
+@partial(jax.jit, static_argnames=("use_rotation",))
+def _coarse_track_kernel(state0, cand_xyz, cand_desc, cand_valid, cand_ang,
+                         cand_extra2, fr_xy, fr_desc, fr_valid, fr_angle,
+                         fr_sigma2, camera, R_cb, t_cb, radius, retry_below,
+                         use_rotation=True):
+    """The whole coarse tracking stage — project, two-radius projection
+    match (wide pass selected on-device when the tight pass is weak, the
+    reference's 2x-radius retry), rotation-consistency filter, per-feature
+    problem assembly, visual pose LM — as ONE dispatch with ONE fetch.
+
+    Round-5 sync-point work (utils/fetch.py): the previous per-step
+    host-read structure cost ~10 round trips for this stage alone; over
+    the remote-TPU tunnel each blocking read is ~26 ms while extra device
+    work (the second match pass shares nothing but costs ~0.1 ms) is free.
+
+    Returns (state, cand_of_feature [N] i32, n_match, n_inliers)."""
+    uv, ok = _project_points(state0.R_wb, state0.t_wb, R_cb, t_cb,
+                             cand_xyz, camera)
+    va = ok & cand_valid
+
+    def match_at(r):
+        idx, _ = projected_match(
+            cand_desc, fr_desc, uv_a=uv, xy_b=fr_xy, radius=r,
+            valid_a=va, valid_b=fr_valid, max_dist=matching.TH_HIGH,
+            ratio=0.9)
+        if use_rotation:
+            keep = matching.rotation_consistency_mask(
+                cand_ang, fr_angle, jnp.maximum(idx, 0), idx >= 0,
+                min_keep_frac=0.5)
+            idx = jnp.where(keep, idx, -1)
+        return idx
+
+    idx1 = match_at(radius)
+    idx = jnp.where(jnp.sum(idx1 >= 0) < retry_below,
+                    match_at(radius * 2.0), idx1)
+    n_match = jnp.sum(idx >= 0)
+
+    N = fr_xy.shape[0]
+    pts, extra2, vo, ci = _scatter_by_feature(idx, idx >= 0, N,
+                                              cand_xyz, cand_extra2)
+    inv_s2 = 1.0 / (fr_sigma2 + extra2)
+    z = KfState.zeros()
+    state, inlier = _pose_optimize_impl(
+        state0, pts, fr_xy, inv_s2, vo, camera, R_cb, t_cb,
+        _identity_edge(), z, jnp.float32(0.0), z, jnp.zeros(9, jnp.float32),
+        use_inertial=False, use_prior=False)
+    inl = inlier & vo
+    return state, jnp.where(inl, ci, -1), n_match, jnp.sum(inl)
+
+
+@partial(jax.jit, static_argnames=("use_inertial",))
+def _local_track_kernel(state0, cand_xyz, cand_desc, cand_valid, cand_normal,
+                        cand_use_vcos, cand_extra2, radius, blockrow,
+                        coarse_pts, coarse_inv_s2, coarse_valid,
+                        fr_xy, fr_desc, fr_valid, fr_sigma2,
+                        camera, R_cb, t_cb, t_bc, view_cos_gate, retry_min,
+                        edge, last_state, edge_valid, use_inertial):
+    """The whole local-map tracking stage as ONE dispatch + ONE fetch:
+    project, view-cos gate, two-radius match (2.5x wide pass selected
+    on-device when the tight pass re-captures under half the in-view
+    candidates), merge with the coarse associations, pose(+inertial) LM.
+
+    blockrow[f] = candidate row of the point the COARSE stage assigned to
+    feature f (-1 none): the coarse association survives unless the local
+    search re-matched that same point at a different feature (one
+    observation per point — the host-side dedupe of the previous design).
+
+    Returns (state, cand_of_feature, keep_coarse, cand_hit, n_inliers)."""
+    uv, ok = _project_points(state0.R_wb, state0.t_wb, R_cb, t_cb,
+                             cand_xyz, camera)
+    center = state0.t_wb + state0.R_wb @ t_bc
+    vec = cand_xyz - center
+    dist = jnp.linalg.norm(vec, axis=1)
+    ray = vec / jnp.maximum(dist, 1e-9)[:, None]
+    view_cos = jnp.sum(ray * cand_normal, axis=1)
+    ok = ok & (~cand_use_vcos | (view_cos > view_cos_gate))
+    va = ok & cand_valid
+
+    def match_at(r):
+        idx, _ = projected_match(
+            cand_desc, fr_desc, uv_a=uv, xy_b=fr_xy, radius=r,
+            valid_a=va, valid_b=fr_valid, max_dist=matching.TH_HIGH,
+            ratio=0.8)
+        return idx
+
+    idx1 = match_at(radius)
+    thresh = jnp.maximum(retry_min, jnp.sum(va) // 2)
+    idx = jnp.where(jnp.sum(idx1 >= 0) < thresh, match_at(radius * 2.5), idx1)
+    hit = idx >= 0
+
+    N = fr_xy.shape[0]
+    lpts, lex2, lvo, lci = _scatter_by_feature(idx, hit, N,
+                                               cand_xyz, cand_extra2)
+    br = jnp.maximum(blockrow, 0)
+    br_matched_elsewhere = ((blockrow >= 0) & (idx[br] >= 0)
+                            & (idx[br] != jnp.arange(N)))
+    cvalid = coarse_valid & ~br_matched_elsewhere & ~lvo
+    pts = jnp.where(lvo[:, None], lpts, coarse_pts)
+    vo = lvo | cvalid
+    inv_s2 = jnp.where(lvo, 1.0 / (fr_sigma2 + lex2), coarse_inv_s2)
+
+    z = KfState.zeros()
+    state, inlier = _pose_optimize_impl(
+        state0, pts, fr_xy, inv_s2, vo, camera, R_cb, t_cb,
+        edge, last_state, edge_valid, z, jnp.zeros(9, jnp.float32),
+        use_inertial=use_inertial, use_prior=False)
+    inl = inlier & vo
+    return (state, jnp.where(lvo & inl, lci, -1), cvalid & inl, hit,
+            jnp.sum(inl))
 
 
 def _shrink_frame(frame: Frame, priority: np.ndarray, cap: int) -> np.ndarray:
@@ -205,8 +333,12 @@ class Tracking:
     # main entry
     # ------------------------------------------------------------------
 
-    def track(self, frame: Frame, imu: np.ndarray | None):
-        """imu: [n, 7] rows (t, gx, gy, gz, ax, ay, az) since last frame."""
+    def track_feats(self, t: float, feats: dict, imu: np.ndarray | None):
+        """Full per-frame step from a (possibly still on-device) feature
+        dict: dispatches the preintegration + prediction chains, fetches
+        everything in ONE sync point (sync A of the round-5 dispatch
+        model), builds the host Frame, and runs the state machine.
+        Returns (state, frame)."""
         # 1. preintegration bookkeeping (Tracking.cpp:90-91)
         frame_buf = ImuBuffer()
         prev_known = (self.last_frame.time if self.last_frame is not None
@@ -223,17 +355,36 @@ class Tracking:
             if len(self._imu_log) > 4000:
                 self._imu_log = self._imu_log[-4000:]
         bg, ba = self._current_bias()
-        if frame_buf.n:
-            frame.pre_from_frame = frame_buf.integrate(bg, ba, self.calib)
-        if self.kf_imu_buffer.n and self.last_kf_id >= 0:
-            frame.pre_from_kf = self.kf_imu_buffer.integrate(bg, ba, self.calib)
+        pre_f = frame_buf.integrate(bg, ba, self.calib) if frame_buf.n else None
+        pre_kf = (self.kf_imu_buffer.integrate(bg, ba, self.calib)
+                  if self.kf_imu_buffer.n and self.last_kf_id >= 0 else None)
+        deltas = (_predict_deltas(pre_kf, jnp.asarray(bg), jnp.asarray(ba))
+                  if pre_kf is not None else None)
+        # sync A: features + both preintegration windows + predict deltas
+        feats, pre_f, pre_kf, deltas = fetch(feats, pre_f, pre_kf, deltas)
+        feats = dict(feats)
+        feats["xy"] = np.asarray(feats["xy"], np.float32)
+        feats["desc"] = np.asarray(feats["desc"], np.uint32)
+        frame = make_frame(t, feats)
+        frame.pre_from_frame = pre_f
+        frame.pre_from_kf = pre_kf
+        frame._pred_deltas = deltas
 
         if self.state in (NO_IMAGE, NOT_INITIALIZED):
             self._initialize(frame)
         elif self.state in (OK, RECENTLY_LOST):
             self._track_frame(frame)
         self.last_frame = frame
-        return self.state
+        return self.state, frame
+
+    def track(self, frame: Frame, imu: np.ndarray | None):
+        """Compatibility entry for callers that pre-build a host Frame;
+        the live System path uses track_feats (single-fetch)."""
+        feats = _feat_dict(frame)
+        state, new_frame = self.track_feats(frame.time, feats, imu)
+        # mirror the results back onto the caller's Frame object
+        frame.__dict__.update(new_frame.__dict__)
+        return state
 
     def _current_bias(self):
         if self.last_kf_id >= 0:
@@ -447,20 +598,22 @@ class Tracking:
     def _predict_state(self, frame: Frame) -> KfState:
         """IMU prediction from last KF (Tracking.cpp:211-243) or constant
         camera-motion model."""
-        if self.imu_ready and frame.pre_from_kf is not None and self.last_kf_id >= 0:
+        if (self.imu_ready and frame.pre_from_kf is not None
+                and frame._pred_deltas is not None and self.last_kf_id >= 0):
             k = self.last_kf_id
             pre = frame.pre_from_kf
-            bg = jnp.asarray(self.store.kf_bg[k])
-            ba = jnp.asarray(self.store.kf_ba[k])
-            dR_d, dV_d, dP_d = _predict_deltas(pre, bg, ba)
-            dR, dV, dP = np.asarray(dR_d), np.asarray(dV_d), np.asarray(dP_d)
+            # deltas were dispatched with the frame's integrate chain and
+            # fetched at sync A (track_feats) — pure host math from here
+            dR, dV, dP = (np.asarray(a, np.float32)
+                          for a in frame._pred_deltas)
             dt = float(pre.dt)
             R0, t0, v0 = self.store.kf_R[k], self.store.kf_t[k], self.store.kf_v[k]
             R = R0 @ dR
             v = v0 + G_W * dt + R0 @ dV
             t = t0 + v0 * dt + 0.5 * G_W * dt * dt + R0 @ dP
-            return KfState(jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
-                           bg, ba)
+            return KfState(R.astype(np.float32), t.astype(np.float32),
+                           v.astype(np.float32), self.store.kf_bg[k],
+                           self.store.kf_ba[k])
         # constant-velocity motion model on the body pose
         last = self.last_frame
         if last is not None and last.state is not None and self.velocity_rel is not None:
@@ -642,23 +795,54 @@ class Tracking:
         frame.pt_ids[idx[hit]] = ids[hit]
         return int(hit.sum())
 
-    def _match_against_last(self, frame: Frame) -> bool:
-        """trackLastFrame (Tracking.cpp:284-314): project last frame's points.
-        On a weak first pass the search radius is doubled (the reference's
-        2x-radius retry in SearchByProjection)."""
-        xyz, desc, valid, ids, ang = self._candidate_points(
-            self.last_frame.pt_ids, self.last_frame.angle)
-        radius = np.full(self.n_feat, 15.0, np.float32)
-        n = self._match_points_to_frame(frame, xyz, desc, valid, ids, radius,
-                                        max_dist=matching.TH_HIGH,
-                                        src_angles=ang)
-        if n < 2 * self.min_track_inliers:
-            n = self._match_points_to_frame(frame, xyz, desc, valid, ids,
-                                            radius * 2.0, max_dist=matching.TH_HIGH,
-                                            src_angles=ang)
-        if n < self.min_track_inliers:
+    def _cand_extra2(self, state: KfState, xyz: np.ndarray,
+                     ids: np.ndarray) -> np.ndarray:
+        """Per-candidate extra measurement variance (px^2) from the point's
+        along-ray depth uncertainty seen from `state` — the host-side
+        candidate-array version of _point_depth_sigma_px, computed BEFORE
+        matching so the fused kernels can assemble the pose problem
+        on-device."""
+        store = self.store
+        center = (np.asarray(state.t_wb)
+                  + np.asarray(state.R_wb) @ np.asarray(self.calib.t_bc))
+        vec = xyz - center
+        z = np.linalg.norm(vec, axis=1)
+        ray = vec / np.maximum(z[:, None], 1e-9)
+        normal = store.pt_normal[np.maximum(ids, 0)]
+        cos_t = np.abs((ray * normal).sum(1))
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t**2, 0.0))
+        f = float(self.camera.fx)
+        sig = f * store.pt_sigma_z[np.maximum(ids, 0)] * sin_t / np.maximum(z, 1e-6)
+        return (sig**2).astype(np.float32)
+
+    def _coarse_track(self, frame: Frame, pt_ids_src, ang_src) -> bool:
+        """Shared trackLastFrame / trackLastKeyFrame stage (Tracking.cpp:
+        284-343) through the single-dispatch coarse kernel: one device
+        round trip covers project + two-radius match + rotation filter +
+        pose LM (was ~6-10 blocking reads)."""
+        xyz, desc, valid, ids, ang = self._candidate_points(pt_ids_src, ang_src)
+        extra2 = self._cand_extra2(frame.state, xyz, ids)
+        st, ci, n_match, n_inl = fetch(_coarse_track_kernel(
+            frame.state, xyz, desc, valid, ang, extra2,
+            frame.xy, frame.desc, frame.valid, frame.angle, frame.sigma2,
+            self.camera, self.calib.R_cb, self.calib.t_cb,
+            np.full(len(xyz), 15.0, np.float32),
+            np.int32(2 * self.min_track_inliers),
+            use_rotation=self.rotation_check))
+        frame.pt_ids[:] = -1
+        if int(n_match) < self.min_track_inliers:
             return False
-        return self._optimize_frame_pose(frame) >= self.min_track_inliers
+        frame.state = KfState(*(np.asarray(a, np.float32) for a in st))
+        sel = ci >= 0
+        frame.pt_ids[sel] = ids[ci[sel]]
+        return int(n_inl) >= self.min_track_inliers
+
+    def _match_against_last(self, frame: Frame) -> bool:
+        """trackLastFrame (Tracking.cpp:284-314): project last frame's
+        points (with the reference's 2x-radius weak-pass retry, folded
+        into the kernel)."""
+        return self._coarse_track(frame, self.last_frame.pt_ids,
+                                  self.last_frame.angle)
 
     def _match_against_last_kf(self, frame: Frame) -> bool:
         """trackLastKeyFrame (Tracking.cpp:316-343): projection match
@@ -669,19 +853,8 @@ class Tracking:
         k = self.last_kf_id
         if k < 0:
             return False
-        xyz, desc, valid, ids, ang = self._candidate_points(
-            self.store.kf_feat_pt[k], self.store.kf_feat_angle[k])
-        radius = np.full(self.n_feat, 15.0, np.float32)
-        n = self._match_points_to_frame(frame, xyz, desc, valid, ids, radius,
-                                        max_dist=matching.TH_HIGH,
-                                        src_angles=ang)
-        if n < 2 * self.min_track_inliers:
-            n = self._match_points_to_frame(frame, xyz, desc, valid, ids,
-                                            radius * 2.0, max_dist=matching.TH_HIGH,
-                                            src_angles=ang)
-        if n < self.min_track_inliers:
-            return False
-        return self._optimize_frame_pose(frame) >= self.min_track_inliers
+        return self._coarse_track(frame, self.store.kf_feat_pt[k],
+                                  self.store.kf_feat_angle[k])
 
     def _match_against_ref_kf(self, frame: Frame) -> bool:
         """trackReferenceKeyFrame (Tracking.cpp:255-282): descriptor match
@@ -748,7 +921,7 @@ class Tracking:
         pid_set = store.kf_feat_pt[np.asarray(sorted(kfs), np.int32)]
         pids = np.unique(pid_set[pid_set >= 0])
         pids = pids[store.pt_valid[pids]]
-        _, in_view_all = self._project(frame.state, store.pt_xyz)
+        in_view_all = self._in_view_np(frame.state, store.pt_xyz)
         cand = np.nonzero(in_view_all & store.pt_valid
                           & (store.pt_n_obs >= 3))[0]
         pids = np.union1d(pids, cand)
@@ -760,8 +933,24 @@ class Tracking:
             pids = pids[np.argsort(-key)[: self.local_pt_cap]]
         return pids
 
+    def _in_view_np(self, state: KfState, xyz: np.ndarray) -> np.ndarray:
+        """Host-side in-frustum test (numpy — the harvest only SELECTS
+        candidates; running it on device cost one blocking round trip per
+        frame over the remote-TPU tunnel)."""
+        R_cb = np.asarray(self.calib.R_cb)
+        t_cb = np.asarray(self.calib.t_cb)
+        R_cw = R_cb @ np.asarray(state.R_wb).T
+        t_cw = t_cb - R_cw @ np.asarray(state.t_wb)
+        pc = xyz @ R_cw.T + t_cw
+        _, ok = project_np(self.camera, pc)
+        return ok
+
     def _track_local_map(self, frame: Frame) -> bool:
-        """trackLocalMap (Tracking.cpp:345-427)."""
+        """trackLocalMap (Tracking.cpp:345-427) through the single-
+        dispatch local kernel: candidate selection + per-candidate radius
+        policy stay host-side (pure numpy over the SoA store); projection,
+        view-cos gate, two-radius match, coarse merge and the
+        pose(+inertial) LM run as ONE device program with ONE fetch."""
         store = self.store
         pids = self._harvest_local_points(frame)
         P = self.local_pt_cap
@@ -775,22 +964,17 @@ class Tracking:
         valid[:n] = True
         ids[:n] = pids
 
-        uv, ok = self._project(frame.state, xyz)
         # scale-band radius: predicted level from distance (MapPoint scale
         # invariance band, MapPoint.cpp:159-170)
-        center = np.asarray(frame.state.t_wb) + np.asarray(frame.state.R_wb) @ (
-            -np.asarray(self.calib.R_cb).T @ np.asarray(self.calib.t_cb)
-        )
+        center = (np.asarray(frame.state.t_wb)
+                  + np.asarray(frame.state.R_wb) @ np.asarray(self.calib.t_bc))
         dist = np.linalg.norm(xyz - center, axis=1)
-        if self.view_cos_gate > -1.0:
-            # view-angle gate (Frame::isInFrustum, Frame.cpp:129-166): a
-            # candidate seen far off its mean observation direction cannot
-            # look like its descriptor — drop it before matching
-            ray = (xyz - center) / np.maximum(dist, 1e-9)[:, None]
-            normal = store.pt_normal[np.maximum(ids, 0)]
-            has_normal = np.linalg.norm(normal, axis=1) > 0.5
-            view_cos = (ray * normal).sum(1)
-            ok = ok & (~has_normal | (view_cos > self.view_cos_gate))
+        normal = store.pt_normal[np.maximum(ids, 0)].astype(np.float32)
+        has_normal = np.linalg.norm(normal, axis=1) > 0.5
+        # view-angle gate (Frame::isInFrustum, Frame.cpp:129-166): a
+        # candidate seen far off its mean observation direction cannot
+        # look like its descriptor — dropped on device before matching
+        use_vcos = has_normal & (self.view_cos_gate > -1.0) & valid
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(dist > 1e-6, store.pt_max_dist[np.maximum(ids, 0)] / np.maximum(dist, 1e-6), 1.0)
         level_pred = np.clip(
@@ -845,38 +1029,63 @@ class Tracking:
             radius = radius * float(
                 1.0 + min(4.0, 3.0 * (frame.time - self.lost_since)))
 
-        def run_local_match(rad):
-            out_idx, _ = projected_match(
-                jnp.asarray(desc), jnp.asarray(frame.desc),
-                uv_a=jnp.asarray(uv), xy_b=jnp.asarray(frame.xy),
-                radius=jnp.asarray(rad),
-                valid_a=jnp.asarray(ok & valid),
-                valid_b=jnp.asarray(frame.valid),
-                max_dist=matching.TH_HIGH, ratio=0.8,
-            )
-            return np.asarray(out_idx)
+        # coarse-assignment merge inputs: per-feature problem rows for the
+        # already-assigned points, and blockrow (candidate row of each
+        # coarse point, for the one-observation-per-point rule)
+        N = self.n_feat
+        coarse_pts = np.zeros((N, 3), np.float32)
+        coarse_inv_s2 = np.ones(N, np.float32)
+        coarse_valid = np.zeros(N, bool)
+        blockrow = np.full(N, -1, np.int32)
+        csel = np.nonzero(frame.pt_ids >= 0)[0]
+        if len(csel):
+            cpids = frame.pt_ids[csel]
+            coarse_pts[csel] = store.pt_xyz[cpids]
+            cex = self._point_depth_sigma_px(frame, cpids)
+            coarse_inv_s2[csel] = 1.0 / (frame.sigma2[csel] + cex**2)
+            coarse_valid[csel] = True
+            if n:
+                pos = np.searchsorted(pids, cpids)
+                pos_c = np.minimum(pos, n - 1)
+                pos_ok = pids[pos_c] == cpids
+                blockrow[csel[pos_ok]] = pos_c[pos_ok]
 
-        idx = run_local_match(radius)
-        # wide-radius retry when the map re-capture rate looks weak
-        n_candidates = int((ok & valid).sum())
-        if (idx >= 0).sum() < max(2 * self.min_track_inliers, n_candidates // 2):
-            idx = run_local_match(radius * 2.5)
-        hit = idx >= 0
-        # merge with coarse matches (keep coarse where local map disagrees)
+        use_inertial = bool(self.imu_ready and frame.pre_from_kf is not None
+                            and self.last_kf_id >= 0)
+        if use_inertial:
+            k = self.last_kf_id
+            edge = self.problems._whiten_batch(frame.pre_from_kf)
+            last_state = KfState(store.kf_R[k], store.kf_t[k], store.kf_v[k],
+                                 store.kf_bg[k], store.kf_ba[k])
+            edge_valid = np.float32(1.0)
+        else:
+            edge = _identity_edge()
+            last_state = KfState.zeros()
+            edge_valid = np.float32(0.0)
+
+        extra2 = sigma_px**2
+        st, lci, keep_coarse, hit, n_inl = fetch(_local_track_kernel(
+            frame.state, xyz, desc, valid, normal, use_vcos,
+            extra2.astype(np.float32), radius.astype(np.float32), blockrow,
+            coarse_pts, coarse_inv_s2, coarse_valid,
+            frame.xy, frame.desc, frame.valid, frame.sigma2,
+            self.camera, self.calib.R_cb, self.calib.t_cb,
+            np.asarray(self.calib.t_bc, np.float32),
+            np.float32(self.view_cos_gate),
+            np.int32(2 * self.min_track_inliers),
+            edge, last_state, edge_valid, use_inertial=use_inertial))
+
         stats_vis = ids[hit & (ids >= 0)]
         store.pt_visible[stats_vis] += 1
-        frame.pt_ids[idx[hit]] = ids[hit]
-        # dedupe: a point must be assigned to at most ONE feature, else the
-        # keyframe would get two observations of it and BA tears it apart
-        assigned = frame.pt_ids
-        sel = np.nonzero(assigned >= 0)[0]
-        _, first = np.unique(assigned[sel], return_index=True)
-        dup = np.setdiff1d(np.arange(len(sel)), first)
-        assigned[sel[dup]] = -1
-
-        n_inliers = self._optimize_frame_pose(frame, full=self.imu_ready)
+        frame.state = KfState(*(np.asarray(a, np.float32) for a in st))
+        new_ids = np.full(N, -1, np.int64)
+        new_ids[keep_coarse] = frame.pt_ids[keep_coarse]
+        lsel = lci >= 0
+        new_ids[lsel] = ids[lci[lsel]]
+        frame.pt_ids[:] = new_ids
         tracked = frame.pt_ids >= 0
         store.pt_found[frame.pt_ids[tracked]] += 1
+        n_inliers = int(n_inl)
         frame.n_tracked = n_inliers
         return n_inliers >= self.min_track_inliers
 

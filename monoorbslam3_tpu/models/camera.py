@@ -250,3 +250,64 @@ class Fisheye(NamedTuple):
             & (uv[..., 1] >= 0.0)
             & (uv[..., 1] < self.height)
         )
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) projection for control-plane decisions.
+#
+# The tracker's local-map HARVEST needs an in-view test over the whole point
+# store every frame purely to SELECT candidates (host control flow). Running
+# it through the jitted device path costs a blocking round trip per frame
+# (~26 ms p50 over the remote-TPU tunnel, experiments/rtt_probe.py); the
+# same math in numpy over ~32k points is tens of microseconds. Intrinsics
+# are cached as python floats per camera instance.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_HOST_INTR: dict[int, dict] = {}
+
+
+def _host_intrinsics(camera) -> dict:
+    key = id(camera)
+    d = _HOST_INTR.get(key)
+    if d is None:
+        d = {
+            "fx": float(camera.fx), "fy": float(camera.fy),
+            "cx": float(camera.cx), "cy": float(camera.cy),
+            "dist": _np.asarray(camera.dist, _np.float64),
+            "fisheye": isinstance(camera, Fisheye),
+        }
+        if d["fisheye"]:
+            d.update(x0=0.0, y0=0.0, x1=float(camera.width),
+                     y1=float(camera.height))
+        else:
+            d.update(x0=float(camera.min_x), y0=float(camera.min_y),
+                     x1=float(camera.max_x), y1=float(camera.max_y))
+        _HOST_INTR[key] = d
+    return d
+
+
+def project_np(camera, pc: _np.ndarray):
+    """Numpy mirror of camera.project + is_in_image: camera-frame points
+    [..., 3] -> (uv [..., 2], in_view [...]) with the z > 0.05 cheirality
+    gate of _project_points."""
+    c = _host_intrinsics(camera)
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    if c["fisheye"]:
+        r = _np.sqrt(x * x + y * y)
+        theta = _np.arctan2(r, z)
+        k1, k2, k3, k4 = c["dist"][:4]
+        t2 = theta * theta
+        dpoly = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        scale = _np.where(r < 1e-8, 1.0, dpoly / _np.where(r < 1e-8, 1.0, r))
+        u = c["fx"] * x * scale + c["cx"]
+        v = c["fy"] * y * scale + c["cy"]
+    else:
+        zs = _np.maximum(z, 1e-6)
+        u = c["fx"] * x / zs + c["cx"]
+        v = c["fy"] * y / zs + c["cy"]
+    uv = _np.stack([u, v], axis=-1).astype(_np.float32)
+    ok = ((z > 0.05) & (u >= c["x0"]) & (u < c["x1"])
+          & (v >= c["y0"]) & (v < c["y1"]))
+    return uv, ok

@@ -60,10 +60,23 @@ def make_world(name: str, kv: dict):
         return (ImageWorld(traj=traj, blank_sector=(0.6, 0.6 + width)),
                 traj, kv.get("t_end", 60.0))
     if name == "corridor":
-        traj = ForwardTrajectory(speed=kv.get("speed", 8.0))
+        speed = kv.get("speed", 8.0)
+        t_end = kv.get("t_end", 60.0)
+        traj = ForwardTrajectory(speed=speed)
+        # the street must outlast the drive: with the dataclass default
+        # length (700 m) an 8 m/s trajectory reaches the END WALL at
+        # t = 87.5 s and passes through it — every mapped point drops
+        # behind the camera within 2 frames (in-view candidates 346 ->
+        # 2 -> 0, trace 2026-08-21) and tracking is lost at t~90. That
+        # was the corridor120 "t=90.2 layout-independent loss" (VERDICT
+        # r04 missing #2): a world-geometry artifact, not an estimator
+        # edge. A KITTI drive does not end inside a wall; keep the wall
+        # ~200 m beyond the end of the trajectory.
+        length = kv.get("length", max(700.0, speed * t_end + 200.0))
         return (CorridorImageWorld(traj=traj,
-                                   half_width=kv.get("half_width", 8.0)),
-                traj, kv.get("t_end", 60.0))
+                                   half_width=kv.get("half_width", 8.0),
+                                   length=length),
+                traj, t_end)
     raise ValueError(f"unknown synthetic world {name!r} "
                      "(circle|fastspin|lowtex|corridor|noisy)")
 

@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 from .backend.problems import Problems
-from .frontend.frame import features_from_extractor, make_frame
+from .frontend.frame import finish_features, make_frame
 from .frontend.local_mapping import LocalMapping
 from .frontend import tracking as tracking_mod
 from .frontend.tracking import Tracking
@@ -193,7 +193,10 @@ class System:
 
     def track(self, t: float, image, imu=None) -> int:
         """Full path: ORB extraction on the image, then tracking
-        (System::Track, System.cpp:86-106)."""
+        (System::Track, System.cpp:86-106). The whole extract -> finish ->
+        BoW -> preintegrate chain stays ON DEVICE with a single blocking
+        fetch inside Tracking.track_feats (sync A of the round-5 dispatch
+        model — see utils/fetch.py)."""
         if self._pending_reset:
             self._do_reset()
         assert self.extractor is not None, "System built without an extractor"
@@ -203,10 +206,14 @@ class System:
                                             tracking_mod.NOT_INITIALIZED)):
             ext = self.init_extractor
         out = ext(image)
-        feats = features_from_extractor(out, self.camera, ext.scale_factors)
-        frame = make_frame(t, self._assign_bow(feats))
+        feats = finish_features(out, self.camera, ext.scale_factors)
+        if self.vocab is not None:
+            _, group, _ = self.vocab.transform(feats["desc"], feats["valid"])
+            feats["group"] = group  # stays on device until sync A
+        else:
+            feats["group"] = None
         with self._map_lock:  # Tracking.cpp:74 map_update_mutex
-            state = self.tracking.track(frame, imu)
+            state, frame = self.tracking.track_feats(t, feats, imu)
         if self.viewer is not None:
             self.viewer.update_frame(
                 image, frame.xy, frame.pt_ids >= 0,
@@ -217,9 +224,9 @@ class System:
         """Feature-injection path (deterministic tests / non-image sensors)."""
         if self._pending_reset:
             self._do_reset()
-        frame = make_frame(t, self._assign_bow(dict(feats)))
+        feats = self._assign_bow(dict(feats))
         with self._map_lock:  # Tracking.cpp:74 map_update_mutex
-            state = self.tracking.track(frame, imu)
+            state, frame = self.tracking.track_feats(t, feats, imu)
         if self.viewer is not None:
             self.viewer.update_frame(
                 None, frame.xy, frame.pt_ids >= 0,
