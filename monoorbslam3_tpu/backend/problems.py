@@ -631,6 +631,12 @@ class Problems:
             kf, pts, info = schur_ba(problem, self.camera, self.calib.R_cb,
                                      self.calib.t_cb, n_iters=n_iters,
                                      grouped_obs=opk)
+        # ONE blocking read for the whole solve (states + points + every
+        # diagnostic): each further np.asarray below is then free. Before
+        # this, the write-back's 7 separate reads cost ~7 tunnel round
+        # trips per BA call (utils/fetch.py cost model).
+        kf, pts, info = fetch((kf, pts, info))
+        kf = KfState(*kf)
         n_ie = int(np.asarray(problem.ie_valid).sum())
         if float(info["cost0"]) > 1e6:
             # a window should never START this inconsistent — split the

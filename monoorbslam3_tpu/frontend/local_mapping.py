@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..ops import matching
 from ..ops.twoview import triangulate_dlt
 from ..utils import lie
+from ..utils.fetch import fetch
 
 log = logging.getLogger("monoorbslam3_tpu.mapper")
 
@@ -198,7 +199,7 @@ class LocalMapping:
 
     # ------------------------------------------------------------------
 
-    def process(self, k: int, initial: bool = False):
+    def process(self, k: int, initial: bool = False, light: bool = False):
         """One mapper step for a freshly inserted keyframe.
 
         Stage order deliberately differs from the reference (which
@@ -207,7 +208,15 @@ class LocalMapping:
         from it divides that error by the pair parallax — measured to
         double the map's p90 point error per step. We therefore refine the
         window (including the new KF pose) FIRST, triangulate from the
-        refined pose, then run a short polish BA over the new points."""
+        refined pose, then run a short polish BA over the new points.
+
+        light=True (async drain mode, System._mapper_loop): run only the
+        per-KF stages (attach/cull/triangulate/fuse) and skip the window
+        BAs + init/refine/KF-cull — the reference's exact backlog
+        behavior (BA only when the queue is empty, abortable by abort_BA,
+        LocalMapping.cpp:44-54): with KFs waiting, a BA per backlog KF
+        would solve a nearly identical window repeatedly while the
+        tracker starves for map growth."""
         lock = self.map_lock
         self.kf_counter += 1
         with lock:
@@ -215,6 +224,11 @@ class LocalMapping:
             if initial:
                 return
             self.cull_map_points()
+        if light:
+            with lock:
+                n_new = self.create_new_map_points(k)
+                self.fuse_neighbors(k)
+            return
 
         def run_ba(n_iters):
             if self.store.n_keyframes() < 3:
@@ -328,6 +342,12 @@ class LocalMapping:
         # unmatched features of KF k
         free1 = store.kf_feat_valid[k] & (store.kf_feat_pt[k] < 0)
         n_new = 0
+        # dispatch EVERY neighbor's triangulation kernel first, then fetch
+        # all results in one blocking read (was 3 reads x ~8 neighbors per
+        # mapper step — the tunnel cost model in utils/fetch.py). The free
+        # masks are a snapshot of the pre-round state; the per-feature
+        # guards below keep double-assignments out exactly as before.
+        dispatched = []
         for j in neighbors:
             if j == k:
                 continue
@@ -338,21 +358,21 @@ class LocalMapping:
             if med_depth > 0 and baseline / med_depth < 0.01:
                 continue
             free2 = store.kf_feat_valid[j] & (store.kf_feat_pt[j] < 0)
-            idx, X, accept = _triangulate_pair_kernel(
-                jnp.asarray(store.kf_feat_xy[k]), jnp.asarray(store.kf_feat_desc[k]),
-                jnp.asarray(free1), jnp.asarray(store.kf_feat_sigma2[k]),
-                jnp.asarray(store.kf_feat_xy[j]), jnp.asarray(store.kf_feat_desc[j]),
-                jnp.asarray(free2), jnp.asarray(store.kf_feat_sigma2[j]),
-                self.problems.camera, jnp.asarray(R_cw1.astype(np.float32)),
-                jnp.asarray(t_cw1.astype(np.float32)),
-                jnp.asarray(R_cw2.astype(np.float32)),
-                jnp.asarray(t_cw2.astype(np.float32)),
-                jnp.asarray(store.kf_feat_group[k]),
-                jnp.asarray(store.kf_feat_group[j]),
+            out = _triangulate_pair_kernel(
+                store.kf_feat_xy[k], store.kf_feat_desc[k],
+                free1, store.kf_feat_sigma2[k],
+                store.kf_feat_xy[j], store.kf_feat_desc[j],
+                free2, store.kf_feat_sigma2[j],
+                self.problems.camera, R_cw1.astype(np.float32),
+                t_cw1.astype(np.float32), R_cw2.astype(np.float32),
+                t_cw2.astype(np.float32),
+                store.kf_feat_group[k], store.kf_feat_group[j],
             )
-            idx = np.asarray(idx)
-            X = np.asarray(X)
-            accept = np.asarray(accept)
+            dispatched.append((j, out))
+        if not dispatched:
+            return 0
+        results = fetch([out for _, out in dispatched])
+        for (j, _), (idx, X, accept) in zip(dispatched, results):
             for f1 in np.nonzero(accept)[0]:
                 if store.kf_feat_pt[k, f1] >= 0:
                     continue  # matched by an earlier neighbor this round
@@ -370,13 +390,10 @@ class LocalMapping:
                                      R_cb, t_cb, self.scale_factors)
         return n_new
 
-    def _fuse_points_into_kf(self, pids, j: int, radius: float = 4.0):
-        """Project the given points into KF j; attach to free features or
-        merge with conflicting points (the Fuse primitive,
-        ORBMatcher.cpp:524-592)."""
+    def _dispatch_fuse(self, pids, j: int, radius: float = 4.0):
+        """Dispatch the fuse projection kernel for KF j (no blocking read).
+        Returns (ids, device_idx) for _apply_fuse after a batched fetch."""
         store = self.store
-        if len(pids) == 0:
-            return 0
         R_cb = np.asarray(self.calib.R_cb)
         t_cb = np.asarray(self.calib.t_cb)
         cap = store.n_feat
@@ -391,13 +408,20 @@ class LocalMapping:
         ids[:n] = pids[:n]
 
         R_cw, t_cw = store.kf_pose_cw(j, R_cb, t_cb)
-        idx = np.asarray(_fuse_project_kernel(
-            jnp.asarray(P), jnp.asarray(D), jnp.asarray(V),
-            jnp.asarray(store.kf_feat_xy[j]), jnp.asarray(store.kf_feat_desc[j]),
-            jnp.asarray(store.kf_feat_valid[j]), jnp.asarray(store.kf_feat_sigma2[j]),
-            self.problems.camera, jnp.asarray(R_cw.astype(np.float32)),
-            jnp.asarray(t_cw.astype(np.float32)), radius,
-        ))
+        idx = _fuse_project_kernel(
+            P, D, V, store.kf_feat_xy[j], store.kf_feat_desc[j],
+            store.kf_feat_valid[j], store.kf_feat_sigma2[j],
+            self.problems.camera, R_cw.astype(np.float32),
+            t_cw.astype(np.float32), radius,
+        )
+        return ids, idx
+
+    def _apply_fuse(self, ids, idx, j: int):
+        """Host-side application of one fused projection result. The
+        validity guards re-check live store state, so results computed
+        from a pre-round snapshot stay safe when an earlier application
+        replaced or invalidated a point."""
+        store = self.store
         n_fused = 0
         for i in np.nonzero(idx >= 0)[0]:
             p = int(ids[i])
@@ -432,7 +456,12 @@ class LocalMapping:
         (LocalMapping.cpp:266-277): the top covisible neighbors PLUS each
         neighbor's own top-5 — on a lap revisit the second hop is what
         reaches the OLD map's KFs and merges duplicate landmarks across
-        the loop."""
+        the loop.
+
+        All projection kernels (forward per neighbor + the reverse pass)
+        are dispatched first and fetched with ONE blocking read; the
+        host-side application re-checks live validity per point (see
+        _apply_fuse), matching the previous sequential semantics."""
         store = self.store
         first = store.covisible_keyframes(k, top=10)
         neighbors = list(first)
@@ -445,8 +474,11 @@ class LocalMapping:
 
         pids_k = store.kf_feat_pt[k]
         pids_k = np.unique(pids_k[pids_k >= 0])
-        for j in neighbors:
-            self._fuse_points_into_kf(pids_k, j)
+        calls = []
+        if len(pids_k):
+            for j in neighbors:
+                ids, idx = self._dispatch_fuse(pids_k, j)
+                calls.append((ids, idx, j))
 
         # reverse: union of neighbor points -> current KF
         if neighbors:
@@ -456,7 +488,15 @@ class LocalMapping:
             # only points not already attached to k
             attached = set(pids_k.tolist())
             pids_n = np.asarray([p for p in pids_n if p not in attached], np.int64)
-            self._fuse_points_into_kf(pids_n, k)
+            if len(pids_n):
+                ids, idx = self._dispatch_fuse(pids_n, k)
+                calls.append((ids, idx, k))
+
+        if not calls:
+            return
+        fetched = fetch([idx for _, idx, _ in calls])
+        for (ids, _, j), idx in zip(calls, fetched):
+            self._apply_fuse(ids, idx, j)
 
     def _kf_span(self) -> float:
         """Time span covered by the surviving keyframe set."""

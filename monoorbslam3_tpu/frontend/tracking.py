@@ -1203,9 +1203,18 @@ class Tracking:
         c3 = dt >= self.kf_max_interval
         c4 = self.min_track_inliers < frame.n_tracked < self.kf_weak_inliers
         if ((c1a or c1b) and c2) or c3 or c4:
-            # a busy mapper vetoes all but the hard triggers (the queue is
-            # bounded; losing a weak-trigger KF is the reference's
-            # interruptBA-and-skip path, Tracking.cpp:565-572)
+            # Async mode (mapper_accepts set): the BOUNDED QUEUE is the
+            # backpressure — mapper_accepts already vetoed a full queue
+            # above, and the drain-mode mapper absorbs a backlog at
+            # per-KF-stage cost (System._mapper_loop). Gating triggered
+            # insertions on mapper IDLENESS here is what starved the
+            # on-chip async runs (TPU_E2E_r04: a tunnel-bound mapper is
+            # never idle -> 10 KFs/60 s -> the inertial init never got a
+            # chain; the reference equivalent is interruptBA + the queue
+            # absorbing the KF, LocalMapping.cpp:589-593).
+            if self.mapper_accepts is not None:
+                return True
+            # sync mode: a busy mapper vetoes all but the hard triggers
             return idle or c3 or c4
         return False
 

@@ -168,6 +168,15 @@ class System:
             self.mapper.process(k, initial=initial)
 
     def _mapper_loop(self):
+        """Async mapper daemon with DRAIN semantics (the reference's:
+        per-KF stages for every queued KF, the expensive BA + inertial
+        init only once the queue is empty — LocalMapping.cpp:44-60 gates
+        BA and initializeIMU on an empty queue, and initializeIMU drains
+        the queue inline, .cpp:383-387). Without this, a mapper slower
+        than the KF cadence (the TPU tunnel regime) runs a full BA per
+        backlog KF, the bounded queue stays full, insertion is vetoed,
+        and the init starves — the TPU_E2E_r04 corridor60 19x defer/reset
+        failure."""
         while not self._stop:
             try:
                 k, initial = self._queue.get(timeout=0.05)
@@ -175,10 +184,22 @@ class System:
                 continue
             self._mapper_busy = True
             try:
-                self.mapper.process(k, initial=initial)
+                while True:
+                    # light pass while more KFs wait; the LAST drained KF
+                    # runs the full pipeline (window BA, init/refinement,
+                    # KF culling) for the whole drained batch
+                    light = not self._queue.empty()
+                    try:
+                        self.mapper.process(k, initial=initial, light=light)
+                    finally:
+                        self._queue.task_done()
+                    if self._queue.empty():
+                        break
+                    k, initial = self._queue.get_nowait()
+            except queue.Empty:
+                pass
             finally:
                 self._mapper_busy = False
-                self._queue.task_done()
 
     # ------------------------------------------------------------------
 

@@ -384,9 +384,9 @@ def test_async_mapper_slow_mapper_stress():
 
     orig_process = syst.mapper.process
 
-    def slow_process(k, initial=False):
+    def slow_process(k, initial=False, light=False):
         _time.sleep(0.15)  # ~3 frame periods of extra latency per KF
-        return orig_process(k, initial=initial)
+        return orig_process(k, initial=initial, light=light)
 
     syst.mapper.process = slow_process
 
@@ -512,3 +512,68 @@ def test_kitti_associate_bracketing():
     # 2.5 matches nothing, 3.01 -> gt 3.0, 9.0 matches nothing
     assert list(ie) == [0, 1, 2, 4]
     assert list(ig) == [0, 1, 1, 3]
+
+
+def test_async_mapper_init_under_backlog():
+    """Round-5 regression (VERDICT r04 missing #3): with a mapper much
+    slower than the KF cadence (the remote-TPU tunnel regime), the
+    inertial init must still fire. Two mechanisms under test: the KF
+    policy uses QUEUE capacity (not mapper idleness) as async
+    backpressure, and the drain-mode mapper loop absorbs backlog KFs at
+    per-KF-stage cost, running BA + init only when the queue is empty
+    (the reference's LocalMapping.cpp:44-60, 383-387 semantics). Before
+    the fix the on-chip corridor run created 10 KFs in 60 s and
+    defer/reset-cycled the init 19x (TPU_E2E_r04.json)."""
+    import time as _time
+
+    from tests.test_e2e_synthetic import (
+        BA_TRUE, BG_TRUE, CALIB, CAM, N_FEAT, R_BC, T_BC, _make_feats,
+    )
+    from monoorbslam3_tpu.frontend import tracking as T
+    from monoorbslam3_tpu.sim import Trajectory, World
+    from monoorbslam3_tpu.system import System
+
+    traj = Trajectory()
+    world = World(traj=traj, n_points=3000, seed=5)
+    rng = np.random.default_rng(9)
+    syst = System(CAM, CALIB, config={
+        "n_features": N_FEAT, "init_min_features": 100,
+        "init_min_matches": 60, "local_k": 16, "local_p": 1024,
+        "local_o": 3072, "local_pt_cap": 1024, "imu_init_kfs": 16,
+        "max_pt": 16384, "kf_tracked_ratio": 0.85, "mapper_queue_cap": 3,
+    }, async_mapper=True)
+
+    orig_process = syst.mapper.process
+    calls = {"full": 0, "light": 0}
+
+    def slow_process(k, initial=False, light=False):
+        calls["light" if light else "full"] += 1
+        _time.sleep(0.10 if light else 0.30)  # tunnel-regime latency
+        return orig_process(k, initial=initial, light=light)
+
+    syst.mapper.process = slow_process
+
+    last_t, states = 0.0, []
+    for i, t in enumerate(np.arange(0.0, 8.0, 1.0 / 20.0)):
+        obs = world.observe(t, CAM, R_BC, T_BC, noise_px=0.3, flip_bits=4,
+                            max_kps=N_FEAT, rng=rng)
+        imu = None
+        if i:
+            g, a, d = traj.imu_samples(last_t, t, 200.0, bg=BG_TRUE,
+                                       ba=BA_TRUE, noise_gyro=1.7e-4,
+                                       noise_acc=2e-3, rng=rng)
+            ts = last_t + np.cumsum(d)
+            imu = np.concatenate([ts[:, None], g, a], axis=1)
+        states.append(syst.track_features(t, _make_feats(obs), imu))
+        last_t = t
+    states = np.asarray(states)
+    syst.shutdown()
+    assert (states == T.LOST).sum() == 0, "backlogged mapper lost tracking"
+    # the whole point: the KF chain kept growing under a busy mapper and
+    # the init fired (imu_state >= 1; shutdown's pending refinement may
+    # have advanced it to 2)
+    assert syst.mapper.imu_state >= 1, (
+        f"inertial init starved: imu_state={syst.mapper.imu_state}, "
+        f"{syst.store.kf_created_total} KFs created, "
+        f"mapper calls={calls}")
+    assert calls["light"] > 0, "drain mode never engaged under backlog"
