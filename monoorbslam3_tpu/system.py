@@ -24,11 +24,23 @@ from .frontend.frame import finish_features, make_frame
 from .frontend.local_mapping import LocalMapping
 from .frontend import tracking as tracking_mod
 from .frontend.tracking import Tracking
-from .models.imu import ImuCalib
+from .models.imu import ImuBuffer, ImuCalib
 from .models.map_state import MapStore
 from .utils import lie
 
 import jax.numpy as jnp
+
+
+def _dummy_preint(calib):
+    """Tiny preintegration window for warmup shape-tracing (PreintEdge
+    leaf shapes are sample-count independent)."""
+    buf = ImuBuffer()
+    g = np.zeros(3, np.float32)
+    a = np.array([0.0, 0.0, 9.8], np.float32)
+    buf.add(g, a, 0.005)
+    buf.add(g, a, 0.005)
+    return buf.integrate(np.zeros(3, np.float32), np.zeros(3, np.float32),
+                         calib)
 
 
 class System:
@@ -159,6 +171,40 @@ class System:
         outs.append(_fuse_project_kernel(
             jnp.zeros((n, 3)), desc, val, xy, desc, val, s2, self.camera,
             eye, z3, 4.0))
+
+        # the round-5 fused tracking-stage kernels (one dispatch per
+        # stage): coarse at the configured rotation-check variant, local
+        # at BOTH inertial variants (pre- and post-IMU-init)
+        from .backend.problems import _identity_edge
+        from .backend.residuals import KfState, PreintEdge
+        from .frontend.tracking import (
+            _coarse_track_kernel, _local_track_kernel,
+        )
+
+        tr = self.tracking
+        st = KfState.zeros()
+        xyz_n = _np.zeros((n, 3), _np.float32)
+        outs.append(_coarse_track_kernel(
+            st, xyz_n, desc, val, jnp.zeros(n), jnp.zeros(n),
+            xy, desc, val, jnp.zeros(n), s2, self.camera,
+            self.calib.R_cb, self.calib.t_cb,
+            _np.full(n, 15.0, _np.float32), _np.int32(24),
+            use_rotation=tr.rotation_check)[0])
+        P = tr.local_pt_cap
+        xyzP = _np.zeros((P, 3), _np.float32)
+        descP = jnp.zeros((P, 8), jnp.uint32)
+        valP = jnp.zeros(P, bool)
+        fP = jnp.zeros(P)
+        edge_w = self.problems._whiten_batch(
+            _dummy_preint(self.calib))
+        for use_inertial, edge in ((False, _identity_edge()), (True, edge_w)):
+            outs.append(_local_track_kernel(
+                st, xyzP, descP, valP, xyzP, valP, fP, fP,
+                _np.full(n, -1, _np.int32), xyz_n, s2, val,
+                xy, desc, val, s2, self.camera, self.calib.R_cb,
+                self.calib.t_cb, _np.zeros(3, _np.float32),
+                _np.float32(0.5), _np.int32(24), edge, st,
+                _np.float32(1.0), use_inertial=use_inertial)[0])
         _jax.block_until_ready(outs)
 
     def _on_new_kf(self, k: int, initial: bool = False):
