@@ -344,7 +344,7 @@ class Problems:
             ba[e] = store.kf_ba[k]
         pre = self._preint_batch(g, a, d, m, bg, ba)
         edge = self._whiten_batch(pre)
-        return jax.tree_util.tree_map(np.asarray, edge)
+        return fetch(edge)  # one blocking read for all edge leaves
 
     def build_window_problem(self, store, opt_ids, fixed_ids,
                              inertial=False, opt_points=True,
@@ -503,7 +503,7 @@ class Problems:
         ie_valid = np.zeros(E, bool)
         walk_inv = np.zeros((E, 6), np.float32)
         walk_valid = np.zeros(E, bool)
-        edge = jax.tree_util.tree_map(np.asarray, _identity_edge_batch(E))
+        edge = fetch(_identity_edge_batch(E))
         if inertial and nk >= 2:
             ordered = sorted(ids, key=lambda k: store.kf_time[k])
             real = self._batch_edges(store, ordered, cap=E, bufs=edge_bufs)
@@ -927,6 +927,27 @@ class Problems:
             return out
         if self.full_polish_mode == "off":
             return None
+        if self.full_polish_mode == "recent" and len(ids) > self.full_k:
+            # Sliding full window: the surgery-validated grouped machinery
+            # (polish_surgery.py: monotone ATE improvement at <= full_k)
+            # applied to the NEWEST full_k keyframes, anchored on the
+            # window's oldest member — none of the three bisected >full_k
+            # suspects (stride subsample, merged inertial edges, neighbor
+            # correction propagation) is engaged. Old chain untouched:
+            # every KF still gets polished many times while it rides
+            # inside the newest-96 window.
+            sel = ids[-self.full_k:]
+            snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
+                    for k in ids}
+            out = self.run_window_ba(
+                store, sel[1:], [sel[0]], n_iters=n_iters, inertial=True,
+                vb_dofs=True, priors=True, fixed_vb_free=True,
+                caps=(self.full_k, self.full_p,
+                      self.full_k * self.full_opk), grouped=True)
+            if out is not None:
+                self._propagate_point_correction(store, snap,
+                                                 out.get("pids"))
+            return out
         if self.full_polish_mode == "capped" or (
                 self.full_polish_mode == "hybrid" and len(ids) > self.full_k):
             # round-3 behavior (ablation arm): local_k-capped stride

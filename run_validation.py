@@ -58,6 +58,13 @@ WORLDS = {
                   2.5, 0.15),
     "corridor120": ("settings/synthetic_forward.yaml",
                     "corridor:t_end=120,fps=10", 8.0, 0.25),
+    # round-5 forward-envelope extension (VERDICT r04 item 8): a ~1440 m
+    # drive, now that the corridor world's street outlasts its trajectory
+    # (the fixed-700 m end wall was the t=87.5 s "t~90 loss", synth.py).
+    # Bounds FIXED IN ADVANCE of the r05 battery, same % -of-path and
+    # scale regime as the corridor family: 12 m ~ 0.8% of path, 0.25.
+    "corridor180": ("settings/synthetic_forward.yaml",
+                    "corridor:t_end=180,fps=10", 12.0, 0.25),
     # sensor realism: exposure drift +-35%, 0.9 px blur, sigma-6 noise
     # (runners/synth.py apply_sensor_model)
     "noisy60": ("settings/synthetic.yaml", "noisy:t_end=60,fps=20",
