@@ -55,7 +55,7 @@ def main():
     _, traj, _ = make_world("corridor", {})
 
     rows = {}
-    for mode in ("none", "capped", "grouped", "grouped_nomerge"):
+    for mode in ("none", "capped", "grouped", "grouped_nomerge", "recent"):
         system = build_system("settings/synthetic_forward.yaml",
                               config_overrides={"window_layout": "flat",
                                                 "full_polish_mode": mode})
