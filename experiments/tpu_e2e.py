@@ -136,6 +136,27 @@ def run_world(name, out_dir, sync=False):
     # surface, not the system under test (run_validation excludes it too
     # by measuring only wall inside run_sequence; here we exclude it by
     # pre-rendering so the loop is pure System time)
+    def _jit_cache_census():
+        """Total compiled-variant count across the hot jitted programs —
+        growth between warmup end and run end means MID-RUN COMPILES,
+        the prime suspect for the r04 on-chip p99 tail (VERDICT weak #5).
+        The CPU battery's jit-cache regression test has no on-chip
+        equivalent; this is it."""
+        import monoorbslam3_tpu.backend.problems as P
+        import monoorbslam3_tpu.frontend.local_mapping as L
+        import monoorbslam3_tpu.frontend.tracking as T
+        fns = [P._pose_optimize_impl, P.schur_ba, T._coarse_track_kernel,
+               T._local_track_kernel, T._predict_deltas,
+               L._triangulate_pair_kernel, L._fuse_project_kernel]
+        total = 0
+        for f in fns:
+            try:
+                total += f._cache_size()
+            except Exception:
+                pass
+        return total
+
+    cache_after_warmup = _jit_cache_census()
     frames = list(dataset.frames())
     states = []
     frame_ms = []
@@ -188,6 +209,8 @@ def run_world(name, out_dir, sync=False):
             "p90": float(np.percentile(frame_syncs, 90)),
             "mean": round(float(np.mean(frame_syncs)), 2),
             "total": int(np.sum(frame_syncs))},
+        "jit_variants_after_warmup": cache_after_warmup,
+        "jit_variants_after_run": _jit_cache_census(),
         "frame_wall_net_rtt_ms": round(
             float(np.percentile(frame_ms, 50))
             - float(np.percentile(frame_syncs, 50)) * float(np.median(rtts)),

@@ -771,30 +771,6 @@ class Tracking:
         )
         return np.asarray(uv), np.asarray(ok)
 
-    def _match_points_to_frame(self, frame: Frame, xyz, desc, valid, ids,
-                               radius, max_dist, ratio=0.9, src_angles=None):
-        uv, ok = self._project(frame.state, xyz)
-        idx, dist = projected_match(
-            jnp.asarray(desc), jnp.asarray(frame.desc),
-            uv_a=jnp.asarray(uv), xy_b=jnp.asarray(frame.xy),
-            radius=jnp.asarray(radius, jnp.float32),
-            valid_a=jnp.asarray(ok & valid), valid_b=jnp.asarray(frame.valid),
-            max_dist=max_dist, ratio=ratio,
-        )
-        if src_angles is not None and self.rotation_check:
-            # rotation-consistency histogram over the matched pairs
-            # (ORBMatcher.cpp:329-345, 594-622)
-            idx = jnp.asarray(idx)
-            safe = jnp.maximum(idx, 0)
-            keep = _rot_filter(jnp.asarray(src_angles),
-                               jnp.asarray(frame.angle), safe, idx >= 0)
-            idx = jnp.where(keep, idx, -1)
-        idx = np.asarray(idx)
-        frame.pt_ids[:] = -1
-        hit = idx >= 0
-        frame.pt_ids[idx[hit]] = ids[hit]
-        return int(hit.sum())
-
     def _cand_extra2(self, state: KfState, xyz: np.ndarray,
                      ids: np.ndarray) -> np.ndarray:
         """Per-candidate extra measurement variance (px^2) from the point's
