@@ -228,6 +228,19 @@ class LocalMapping:
             with lock:
                 n_new = self.create_new_map_points(k)
                 self.fuse_neighbors(k)
+            # pre-init, a backlogged chain still needs BA-refined poses:
+            # the inertial init's sharp acceptance gate reads the visual
+            # KF displacements, and un-refined tracked poses keep the
+            # scale posterior's rel-sigma above the 0.08 gate (TPU e2e:
+            # light-only chains deferred the init to t~50 where the
+            # fully-processed chain initializes at t~6.4). One bounded
+            # 4-iteration window BA per drained KF is the compromise
+            # between chain quality and drain throughput.
+            if (self.imu_state == IMU_NOT_INIT
+                    and self.store.n_keyframes() >= 3):
+                self.last_info = self.problems.local_bundle_adjustment(
+                    self.store, k, window=self.window, n_iters=4,
+                    lock=lock)
             return
 
         def run_ba(n_iters):

@@ -131,7 +131,7 @@ class System:
 
     # ------------------------------------------------------------------
 
-    def warmup(self, ba_iters=(8, 4)):
+    def warmup(self, ba_iters=(8, 4, 12)):
         """Pre-compile every expensive jitted program at its runtime shape
         so a real-time stream never stalls on XLA compilation (the
         reference's C++ has no JIT cost to hide; on TPU a cold window-BA
@@ -233,7 +233,10 @@ class System:
                 while True:
                     # light pass while more KFs wait; the LAST drained KF
                     # runs the full pipeline (window BA, init/refinement,
-                    # KF culling) for the whole drained batch
+                    # KF culling) for the whole drained batch; pre-init
+                    # light KFs still run one short BA (see
+                    # LocalMapping.process) so the inertial init's sharp
+                    # gate sees BA-refined poses
                     light = not self._queue.empty()
                     try:
                         self.mapper.process(k, initial=initial, light=light)

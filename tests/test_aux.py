@@ -554,7 +554,7 @@ def test_async_mapper_init_under_backlog():
     syst.mapper.process = slow_process
 
     last_t, states = 0.0, []
-    for i, t in enumerate(np.arange(0.0, 8.0, 1.0 / 20.0)):
+    for i, t in enumerate(np.arange(0.0, 12.0, 1.0 / 20.0)):
         obs = world.observe(t, CAM, R_BC, T_BC, noise_px=0.3, flip_bits=4,
                             max_kps=N_FEAT, rng=rng)
         imu = None
