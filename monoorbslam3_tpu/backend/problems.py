@@ -213,7 +213,7 @@ class Problems:
                  local_k: int = 32, local_p: int = 2048, local_o: int = 6144,
                  imu_cap: int = 512, mesh=None,
                  full_k: int = 96, full_p: int = 4096, full_opk: int = 192,
-                 full_polish_mode: str = "recent",
+                 full_polish_mode: str = "hybrid",
                  window_layout: str = "flat"):
         """mesh: optional jax.sharding.Mesh. When set, every window BA
         solves through the DISTRIBUTED Schur pipeline (parallel/
@@ -230,13 +230,20 @@ class Problems:
         # full_p points, full_opk observation rows per keyframe
         self.full_k, self.full_p, self.full_opk = full_k, full_p, full_opk
         # over-capacity polish mode:
-        # - "recent" (default since round 5): grouped all-KF up to full_k;
-        #   beyond, the SAME surgery-validated machinery over the newest
-        #   full_k keyframes (sliding full window) — best corridor60 arm
-        #   of the round-5 A/B (1.39 m / 11.5% vs hybrid 3.03 m / 15.1%,
-        #   grouped 1.59 m / 11.2%, all 0 losses) and engages none of the
-        #   r04-bisected >full_k suspects;
-        # - "hybrid" (round-4 default): the grouped all-KF problem while the
+        # - "hybrid" (default): best long-horizon arm. Round-5 horizon
+        #   lesson: "recent" (sliding newest-full_k window) won the 60 s
+        #   corridor A/B (1.39 m vs hybrid's 3.03 m) but at 120 s it
+        #   LOSES the whole-chain lever — the >96-KF history is never
+        #   re-polished, drift shear accumulates unrepaired, and the
+        #   battery corridor120 row blew up to 21.9 m / 16% (0 losses)
+        #   where hybrid scores 1.81 m / 2.3%. The long-lever subsampled
+        #   polish across ALL history is load-bearing on long forward
+        #   drives; 60 s worlds cannot see this (the window-layout lesson
+        #   of r04, one octave up);
+        # - "recent": grouped all-KF up to full_k; beyond, the same
+        #   surgery-validated machinery over the newest full_k keyframes
+        #   only. Short-horizon best; long-horizon UNSAFE (above);
+        # - "hybrid" detail: the grouped all-KF problem while the
         #   session fits full_k keyframes (surgically validated healthy —
         #   experiments/polish_surgery.py: 3 polishes at 67 KFs improve
         #   ATE 266 -> 234 cm with the last-third gauge recovering), and

@@ -79,7 +79,7 @@ class System:
                                  local_p=cfg.get("local_p", 2048),
                                  local_o=cfg.get("local_o", 6144),
                                  full_polish_mode=cfg.get(
-                                     "full_polish_mode", "recent"),
+                                     "full_polish_mode", "hybrid"),
                                  full_k=cfg.get("full_k", 96),
                                  window_layout=cfg.get(
                                      "window_layout", "flat"),
