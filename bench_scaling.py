@@ -251,9 +251,9 @@ def profile(sizes):
                    "the host's cores and memory bandwidth; replica_s "
                    "isolates that contention with ZERO collectives",
            "rows": rows}
-    with open("SCALING_r04.json", "w") as f:
+    with open("SCALING_r05.json", "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote SCALING_r04.json")
+    print("wrote SCALING_r05.json")
 
 
 def main():
