@@ -903,7 +903,7 @@ class Problems:
 
         jax.block_until_ready(outs)
 
-    def full_inertial_optimize(self, store, n_iters=12, lock=None):
+    def full_inertial_optimize(self, store, n_iters=12):
         """Full VI-BA over all KFs + points (fullInertialOptimize,
         Optimize.cpp:239-442 — the reference optimizes EVERY keyframe and
         point).
@@ -925,21 +925,18 @@ class Problems:
           neighbor's left-multiplied SE(3) correction (+ rotated
           velocity, copied biases), keeping the un-polished poses
           consistent with the polished chain."""
-        lock = lock if lock is not None else nullcontext()
-        with lock:
-            ids = store.keyframe_ids()
-            snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
-                    for k in ids}
+        ids = store.keyframe_ids()
         if len(ids) <= self.local_k:
             opt_ids = ids[1:]  # anchor the first KF
+            snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
+                    for k in ids}
             out = self.run_window_ba(store, opt_ids, [ids[0]],
                                      n_iters=n_iters, inertial=True,
                                      vb_dofs=True, priors=True,
-                                     fixed_vb_free=True, lock=lock)
+                                     fixed_vb_free=True)
             if out is not None:
-                with lock:
-                    self._propagate_point_correction(store, snap,
-                                                     out.get("pids"))
+                self._propagate_point_correction(store, snap,
+                                                 out.get("pids"))
             return out
         if self.full_polish_mode == "off":
             return None
@@ -953,16 +950,16 @@ class Problems:
             # every KF still gets polished many times while it rides
             # inside the newest-96 window.
             sel = ids[-self.full_k:]
+            snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
+                    for k in ids}
             out = self.run_window_ba(
                 store, sel[1:], [sel[0]], n_iters=n_iters, inertial=True,
                 vb_dofs=True, priors=True, fixed_vb_free=True,
                 caps=(self.full_k, self.full_p,
-                      self.full_k * self.full_opk), grouped=True,
-                lock=lock)
+                      self.full_k * self.full_opk), grouped=True)
             if out is not None:
-                with lock:
-                    self._propagate_point_correction(store, snap,
-                                                     out.get("pids"))
+                self._propagate_point_correction(store, snap,
+                                                 out.get("pids"))
             return out
         if self.full_polish_mode == "capped" or (
                 self.full_polish_mode == "hybrid" and len(ids) > self.full_k):
@@ -977,7 +974,7 @@ class Problems:
             return self.run_window_ba(store, sub[1:], [sub[0]],
                                       n_iters=n_iters, inertial=True,
                                       vb_dofs=True, priors=True,
-                                      fixed_vb_free=True, lock=lock)
+                                      fixed_vb_free=True)
         K = self.full_k
         sel = ids
         if len(ids) > K:
@@ -992,21 +989,21 @@ class Problems:
         # ablation arm grouped_nomerge: the big grouped problem WITHOUT
         # merged edges (non-successor subsampled pairs lose their inertial
         # edge, like the capped round-3 polish)
-        with lock:
-            bufs = (None if self.full_polish_mode == "grouped_nomerge"
-                    else self._merged_windows(store, sel))
-        # snap (taken above) holds EVERY keyframe pose: corrections for
-        # skipped KFs AND for the points the capacity-bounded problem
-        # could not include are derived from old-vs-new poses post-solve
+        bufs = (None if self.full_polish_mode == "grouped_nomerge"
+                else self._merged_windows(store, sel))
+        # snapshot EVERY keyframe pose: corrections for skipped KFs AND
+        # for the points the capacity-bounded problem could not include
+        # are derived from old-vs-new poses after the solve
+        snap = {k: (store.kf_R[k].copy(), store.kf_t[k].copy())
+                for k in ids}
         out = self.run_window_ba(
             store, sel[1:], [sel[0]], n_iters=n_iters, inertial=True,
             vb_dofs=True, priors=True, fixed_vb_free=True,
             caps=(K, self.full_p, K * self.full_opk), grouped=True,
-            edge_bufs=bufs, lock=lock)
-        with lock:
-            if len(sel) < len(ids):
-                self._propagate_polish_correction(store, ids, sel, snap)
-            self._propagate_point_correction(store, snap, out.get("pids"))
+            edge_bufs=bufs)
+        if len(sel) < len(ids):
+            self._propagate_polish_correction(store, ids, sel, snap)
+        self._propagate_point_correction(store, snap, out.get("pids"))
         return out
 
     def _propagate_polish_correction(self, store, ids, sel, snap):

@@ -225,8 +225,9 @@ class LocalMapping:
                 return
             self.cull_map_points()
         if light:
-            n_new = self.create_new_map_points(k, lock=lock)
-            self.fuse_neighbors(k, lock=lock)
+            with lock:
+                n_new = self.create_new_map_points(k)
+                self.fuse_neighbors(k)
             # pre-init, a backlogged chain still needs BA-refined poses:
             # the inertial init's sharp acceptance gate reads the visual
             # KF displacements, and un-refined tracked poses keep the
@@ -256,8 +257,9 @@ class LocalMapping:
                 self.store, window=self.window, n_iters=n_iters, lock=lock)
 
         self.last_info = run_ba(8)
-        n_new = self.create_new_map_points(k, lock=lock)
-        self.fuse_neighbors(k, lock=lock)
+        with lock:
+            n_new = self.create_new_map_points(k)
+            self.fuse_neighbors(k)
         if n_new:
             self.last_info = run_ba(4)  # polish freshly triangulated points
 
@@ -267,11 +269,13 @@ class LocalMapping:
         if (self.imu_state == IMU_NOT_INIT
                 and self.store.kf_created_total > self.imu_init_kfs
                 and self._kf_span() >= self.imu_init_min_span):
-            self.initialize_imu(lock=lock)
+            with lock:
+                self.initialize_imu()
         elif (self.imu_state == IMU_INITIALIZED
               and self.imu_init_time is not None
               and self.store.kf_time[k] - self.imu_init_time > self.gravity_refine_delay):
-            self.refine_gravity(lock=lock)
+            with lock:
+                self.refine_gravity()
         elif (self.imu_state == IMU_FINISHED
               and self.vi_refine_interval > 0
               and self.last_vi_refine is not None
@@ -287,7 +291,8 @@ class LocalMapping:
             # against the full KF set (cheap host f64 solve) arrests the
             # feedback — the analog of ORB-SLAM3's repeated VI full-BA
             # passes after initialization.
-            self.refine_gravity(lock=lock)
+            with lock:
+                self.refine_gravity()
 
         with lock:
             self.cull_keyframes(k)
@@ -337,15 +342,8 @@ class LocalMapping:
                 keep.append((pid, birth))
         self.recent_points = keep
 
-    def create_new_map_points(self, k: int, lock=None):
-        """Triangulate vs recent covisible KFs (createNewMapPoints).
-
-        Lock protocol (async): store reads + kernel DISPATCH under the
-        map lock, the blocking device fetch OUTSIDE it (over the remote
-        tunnel the fetch is a ~26 ms+ round trip, and holding the map
-        lock across it stalls the tracker), application back under the
-        lock with per-feature validity guards."""
-        lock = lock if lock is not None else nullcontext()
+    def create_new_map_points(self, k: int):
+        """Triangulate vs recent covisible KFs (createNewMapPoints)."""
         store = self.store
         neighbors = store.covisible_keyframes(k, top=self.triangulate_neighbors)
         if not neighbors:
@@ -363,53 +361,46 @@ class LocalMapping:
         # masks are a snapshot of the pre-round state; the per-feature
         # guards below keep double-assignments out exactly as before.
         dispatched = []
-        with lock:
-            for j in neighbors:
-                if j == k:
-                    continue
-                # baseline check vs scene depth (LocalMapping.cpp:166-171)
-                R_cw2, t_cw2 = store.kf_pose_cw(j, R_cb, t_cb)
-                baseline = np.linalg.norm(
-                    (-R_cw2.T @ t_cw2) - (-R_cw1.T @ t_cw1))
-                med_depth = self._median_depth(j)
-                if med_depth > 0 and baseline / med_depth < 0.01:
-                    continue
-                free2 = store.kf_feat_valid[j] & (store.kf_feat_pt[j] < 0)
-                out = _triangulate_pair_kernel(
-                    store.kf_feat_xy[k], store.kf_feat_desc[k],
-                    free1, store.kf_feat_sigma2[k],
-                    store.kf_feat_xy[j], store.kf_feat_desc[j],
-                    free2, store.kf_feat_sigma2[j],
-                    self.problems.camera, R_cw1.astype(np.float32),
-                    t_cw1.astype(np.float32), R_cw2.astype(np.float32),
-                    t_cw2.astype(np.float32),
-                    store.kf_feat_group[k], store.kf_feat_group[j],
-                )
-                dispatched.append((j, out))
+        for j in neighbors:
+            if j == k:
+                continue
+            # baseline check vs scene depth (LocalMapping.cpp:166-171)
+            R_cw2, t_cw2 = store.kf_pose_cw(j, R_cb, t_cb)
+            baseline = np.linalg.norm((-R_cw2.T @ t_cw2) - (-R_cw1.T @ t_cw1))
+            med_depth = self._median_depth(j)
+            if med_depth > 0 and baseline / med_depth < 0.01:
+                continue
+            free2 = store.kf_feat_valid[j] & (store.kf_feat_pt[j] < 0)
+            out = _triangulate_pair_kernel(
+                store.kf_feat_xy[k], store.kf_feat_desc[k],
+                free1, store.kf_feat_sigma2[k],
+                store.kf_feat_xy[j], store.kf_feat_desc[j],
+                free2, store.kf_feat_sigma2[j],
+                self.problems.camera, R_cw1.astype(np.float32),
+                t_cw1.astype(np.float32), R_cw2.astype(np.float32),
+                t_cw2.astype(np.float32),
+                store.kf_feat_group[k], store.kf_feat_group[j],
+            )
+            dispatched.append((j, out))
         if not dispatched:
             return 0
         results = fetch([out for _, out in dispatched])
-        with lock:
-            if not store.kf_valid[k]:
-                return 0
-            for (j, _), (idx, X, accept) in zip(dispatched, results):
-                if not store.kf_valid[j]:
+        for (j, _), (idx, X, accept) in zip(dispatched, results):
+            for f1 in np.nonzero(accept)[0]:
+                if store.kf_feat_pt[k, f1] >= 0:
+                    continue  # matched by an earlier neighbor this round
+                f2 = int(idx[f1])
+                if store.kf_feat_pt[j, f2] >= 0:
                     continue
-                for f1 in np.nonzero(accept)[0]:
-                    if store.kf_feat_pt[k, f1] >= 0:
-                        continue  # matched by an earlier neighbor
-                    f2 = int(idx[f1])
-                    if store.kf_feat_pt[j, f2] >= 0:
-                        continue
-                    p = store.add_point(X[f1], store.kf_feat_desc[k, f1], k)
-                    store.add_observation(p, k, int(f1))
-                    store.add_observation(p, j, f2)
-                    self.recent_points.append((p, self.kf_counter))
-                    n_new += 1
-            if n_new:
-                pids = store.kf_feat_pt[k]
-                store.update_point_stats(np.unique(pids[pids >= 0]),
-                                         R_cb, t_cb, self.scale_factors)
+                p = store.add_point(X[f1], store.kf_feat_desc[k, f1], k)
+                store.add_observation(p, k, int(f1))
+                store.add_observation(p, j, f2)
+                self.recent_points.append((p, self.kf_counter))
+                n_new += 1
+        if n_new:
+            pids = store.kf_feat_pt[k]
+            store.update_point_stats(np.unique(pids[pids >= 0]),
+                                     R_cb, t_cb, self.scale_factors)
         return n_new
 
     def _dispatch_fuse(self, pids, j: int, radius: float = 4.0):
@@ -467,7 +458,7 @@ class LocalMapping:
                     n_fused += 1
         return n_fused
 
-    def fuse_neighbors(self, k: int, lock=None):
+    def fuse_neighbors(self, k: int):
         """Two-way fuse with covisible neighbors (searchInNeighbors,
         LocalMapping.cpp:261-316): the new KF's points project into each
         neighbor, AND the neighbors' points project back into the new KF.
@@ -483,10 +474,7 @@ class LocalMapping:
         All projection kernels (forward per neighbor + the reverse pass)
         are dispatched first and fetched with ONE blocking read; the
         host-side application re-checks live validity per point (see
-        _apply_fuse), matching the previous sequential semantics. Lock
-        protocol as in create_new_map_points: dispatch under the map
-        lock, fetch outside it, apply back under it."""
-        lock = lock if lock is not None else nullcontext()
+        _apply_fuse), matching the previous sequential semantics."""
         store = self.store
         first = store.covisible_keyframes(k, top=10)
         neighbors = list(first)
@@ -500,33 +488,28 @@ class LocalMapping:
         pids_k = store.kf_feat_pt[k]
         pids_k = np.unique(pids_k[pids_k >= 0])
         calls = []
-        with lock:
-            if len(pids_k):
-                for j in neighbors:
-                    ids, idx = self._dispatch_fuse(pids_k, j)
-                    calls.append((ids, idx, j))
+        if len(pids_k):
+            for j in neighbors:
+                ids, idx = self._dispatch_fuse(pids_k, j)
+                calls.append((ids, idx, j))
 
         # reverse: union of neighbor points -> current KF
         if neighbors:
-            with lock:
-                neigh_pts = store.kf_feat_pt[np.asarray(neighbors)]
-                pids_n = np.unique(neigh_pts[neigh_pts >= 0])
-                pids_n = pids_n[store.pt_valid[pids_n]]
-                # only points not already attached to k
-                attached = set(pids_k.tolist())
-                pids_n = np.asarray(
-                    [p for p in pids_n if p not in attached], np.int64)
-                if len(pids_n):
-                    ids, idx = self._dispatch_fuse(pids_n, k)
-                    calls.append((ids, idx, k))
+            neigh_pts = store.kf_feat_pt[np.asarray(neighbors)]
+            pids_n = np.unique(neigh_pts[neigh_pts >= 0])
+            pids_n = pids_n[store.pt_valid[pids_n]]
+            # only points not already attached to k
+            attached = set(pids_k.tolist())
+            pids_n = np.asarray([p for p in pids_n if p not in attached], np.int64)
+            if len(pids_n):
+                ids, idx = self._dispatch_fuse(pids_n, k)
+                calls.append((ids, idx, k))
 
         if not calls:
             return
         fetched = fetch([idx for _, idx, _ in calls])
-        with lock:
-            for (ids, _, j), idx in zip(calls, fetched):
-                if store.kf_valid[j]:
-                    self._apply_fuse(ids, idx, j)
+        for (ids, _, j), idx in zip(calls, fetched):
+            self._apply_fuse(ids, idx, j)
 
     def _kf_span(self) -> float:
         """Time span covered by the surviving keyframe set."""
@@ -550,63 +533,46 @@ class LocalMapping:
     # IMU initialization (LocalMapping.cpp:374-504)
     # ------------------------------------------------------------------
 
-    def initialize_imu(self, prior_g=1e6, prior_a=1e12, lock=None):
-        """Lock protocol (async): the estimate + accept decision + gauge
-        rewrite + tracker re-sync are ONE atomic section under the map
-        lock (the reference drains the queue and holds the insertion veto
-        across init + applyScaleRotation, LocalMapping.cpp:383-446); the
-        follow-up full-inertial polish runs with run_window_ba's internal
-        locking so its device solves do not stall the tracker."""
-        lock = lock if lock is not None else nullcontext()
+    def initialize_imu(self, prior_g=1e6, prior_a=1e12):
         store = self.store
-        with lock:
-            out = self.problems.inertial_optimize(store, prior_g=prior_g,
-                                                  prior_a=prior_a)
-            if out is None:
-                return False
-            scale = out["scale"]
-            if scale < 0.1:  # degenerate init (LocalMapping.cpp:435-439)
-                return False
-            log.warning(
-                "inertial init ACCEPTED: scale %.3f (rel sigma %.3f), "
-                "cost %.1f -> %.1f, %d KFs spanning %.1f s",
-                scale, out.get("scale_sigma_rel", float("nan")),
-                out.get("cost0", float("nan")), out.get("cost", float("nan")),
-                store.n_keyframes(), self._kf_span())
-            # gauge rewrite: rotate gravity onto -z, scale to metric
-            # (Map::applyScaleRotation + Tracking::updateFrameIMU)
-            store.apply_scale_rotation(out["R_wg"].T, scale,
-                                       t_bc=np.asarray(self.calib.t_bc))
-            self.imu_state = IMU_INITIALIZED
-            self.imu_init_time = store.kf_time[store.keyframe_ids()[-1]]
-            self.tracking.imu_ready = True
-        self.problems.full_inertial_optimize(store, lock=lock)
-        with lock:
-            self.tracking.update_after_gauge_change()
+        out = self.problems.inertial_optimize(store, prior_g=prior_g, prior_a=prior_a)
+        if out is None:
+            return False
+        scale = out["scale"]
+        if scale < 0.1:  # degenerate init (LocalMapping.cpp:435-439)
+            return False
+        log.warning(
+            "inertial init ACCEPTED: scale %.3f (rel sigma %.3f), "
+            "cost %.1f -> %.1f, %d KFs spanning %.1f s",
+            scale, out.get("scale_sigma_rel", float("nan")),
+            out.get("cost0", float("nan")), out.get("cost", float("nan")),
+            store.n_keyframes(), self._kf_span())
+        # gauge rewrite: rotate gravity onto -z, scale to metric
+        # (Map::applyScaleRotation + Tracking::updateFrameIMU)
+        store.apply_scale_rotation(out["R_wg"].T, scale,
+                                   t_bc=np.asarray(self.calib.t_bc))
+        self.imu_state = IMU_INITIALIZED
+        self.imu_init_time = store.kf_time[store.keyframe_ids()[-1]]
+        self.tracking.imu_ready = True
+        self.problems.full_inertial_optimize(store)
+        self.tracking.update_after_gauge_change()
         return True
 
-    def refine_gravity(self, lock=None):
+    def refine_gravity(self):
         """gravityRefinement (.cpp:484-504), extended: the reference
         refines gravity DIRECTION only, but with the cheap host-f64 init
         solve we can re-estimate residual scale too — short init windows
         leave a measurable scale error (wide-FOV fisheye e2e: 1.26x) that
         direction-only refinement cannot touch, and the full VI-BA moves
-        the whole map too slowly to repair it.
-
-        Lock protocol as in initialize_imu: estimate + gauge application
-        atomic under the map lock; the full-chain polish solves with
-        run_window_ba's internal locking."""
-        lock = lock if lock is not None else nullcontext()
+        the whole map too slowly to repair it."""
         store = self.store
-        with lock:
-            out = self.problems.inertial_optimize(store, prior_g=1e8,
-                                                  prior_a=1e12,
-                                                  with_scale=True)
-            if out is None:
-                # scale currently unobservable (e.g. constant-velocity
-                # stretch): refine the direction only, like the reference
-                out = self.problems.inertial_optimize(
-                    store, prior_g=1e8, prior_a=1e12, with_scale=False)
+        out = self.problems.inertial_optimize(store, prior_g=1e8,
+                                              prior_a=1e12, with_scale=True)
+        if out is None:
+            # scale currently unobservable (e.g. constant-velocity
+            # stretch): refine the direction only, like the reference
+            out = self.problems.inertial_optimize(
+                store, prior_g=1e8, prior_a=1e12, with_scale=False)
         if out is not None:
             scale = out["scale"]
             sig_rel = out.get("scale_sigma_rel", np.inf)
@@ -645,10 +611,9 @@ class LocalMapping:
                 "VI refine: scale est %.3f (rel sigma %.3f) -> applied "
                 "%.3f%s", est, sig_rel, scale,
                 "" if scale != 1.0 else " (direction-only)")
-            with lock:
-                store.apply_scale_rotation(out["R_wg"].T, scale,
-                                           t_bc=np.asarray(self.calib.t_bc))
-                self.tracking.update_after_gauge_change()
+            store.apply_scale_rotation(out["R_wg"].T, scale,
+                                       t_bc=np.asarray(self.calib.t_bc))
+            self.tracking.update_after_gauge_change()
             # full-chain VI polish on EVERY maintenance refinement (the
             # reference's repeated post-init full VI-BA, Optimize.cpp:
             # 239-442) — not just after scale corrections: the mono-VI
@@ -656,7 +621,7 @@ class LocalMapping:
             # to any single sliding window but costs drift_rate*dt per
             # edge across the WHOLE chain, so the long-lever polish is
             # the one solver that can push the mean gauge back
-            self.problems.full_inertial_optimize(store, lock=lock)
+            self.problems.full_inertial_optimize(store)
         self.imu_state = IMU_FINISHED
         ids = store.keyframe_ids()
         self.last_vi_refine = store.kf_time[ids[-1]] if ids else None
