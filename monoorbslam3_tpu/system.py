@@ -195,6 +195,20 @@ class System:
         descP = jnp.zeros((P, 8), jnp.uint32)
         valP = jnp.zeros(P, bool)
         fP = jnp.zeros(P)
+        # IMU-window bucket ladder: ImuBuffer.padded compiles one
+        # preintegrate-tree variant per power-of-two capacity; the jit
+        # census of the r05 on-chip run attributed the residual ~10
+        # post-warmup compiles to exactly these shapes appearing as the
+        # since-KF window grows mid-run. Warm the ladder up to 1024
+        # samples (~5 s of 200 Hz IMU between keyframes).
+        buf = ImuBuffer()
+        z3f = _np.zeros(3, _np.float32)
+        af = _np.array([0.0, 0.0, 9.8], _np.float32)
+        for n_samples in (1, 65, 129, 257, 513):  # caps 64..1024
+            while buf.n < n_samples:
+                buf.add(z3f, af, 0.005)
+            outs.append(buf.integrate(z3f, z3f, self.calib).dR)
+
         edge_w = self.problems._whiten_batch(
             _dummy_preint(self.calib))
         for use_inertial, edge in ((False, _identity_edge()), (True, edge_w)):
