@@ -148,6 +148,11 @@ def run_world(name, out_dir, sync=False):
         fns = [P._pose_optimize_impl, P.schur_ba, T._coarse_track_kernel,
                T._local_track_kernel, T._predict_deltas,
                L._triangulate_pair_kernel, L._fuse_project_kernel]
+        # per-instance jits (preintegration batch + whitening): the r05
+        # census runs attributed ~10 residual mid-run compiles to shapes
+        # outside the module-level set — include the Problems-bound jits
+        prob = system.problems
+        fns += [prob._preint_batch, prob._whiten_batch]
         total = 0
         for f in fns:
             try:
